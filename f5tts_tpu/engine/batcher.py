@@ -1,0 +1,95 @@
+"""Continuous cross-request batcher.
+
+The reference serves one request at a time, and its model call blocks the
+FastAPI event loop (``routes/speech.py:30-35``, SURVEY §3.2). Here, chunk-level
+jobs from concurrent requests are funneled into one queue; a dedicated worker
+drains it with a short batching window and dispatches grouped rows (same
+duration bucket) through the engine's compiled, batched sampler — so ten
+concurrent single-sentence requests cost one batched ODE solve, not ten.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+from f5tts_tpu.engine.engine import RowSpec, TTSEngine
+
+
+@dataclass
+class _Job:
+    row: RowSpec
+    future: Future = field(default_factory=Future)
+
+
+class ContinuousBatcher:
+    """Thread-based micro-batching worker over ``TTSEngine.synthesize_rows``."""
+
+    def __init__(self, engine: TTSEngine, max_batch: int = 32, max_wait_ms: float = 15.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._jobs: list[_Job] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread: threading.Thread | None = None
+        self.stats = {"batches": 0, "rows": 0, "max_batch_seen": 0}
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, name="tts-batcher", daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop = True
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def submit(self, row: RowSpec) -> Future:
+        job = _Job(row)
+        with self._lock:
+            self._jobs.append(job)
+        self._wake.set()
+        return job.future
+
+    async def submit_async(self, row: RowSpec):
+        return await asyncio.wrap_future(self.submit(row))
+
+    def _run(self):
+        while not self._stop:
+            self._wake.wait(timeout=0.1)
+            self._wake.clear()
+            if self._stop:
+                break
+            with self._lock:
+                pending = len(self._jobs)
+            if not pending:
+                continue
+            # batching window: let more jobs arrive up to max_batch
+            deadline = time.monotonic() + self.max_wait_s
+            while pending < self.max_batch and time.monotonic() < deadline:
+                time.sleep(0.001)
+                with self._lock:
+                    pending = len(self._jobs)
+            with self._lock:
+                jobs, self._jobs = self._jobs[: self.max_batch], self._jobs[self.max_batch :]
+            if not jobs:
+                continue
+            try:
+                results = self.engine.synthesize_rows([j.row for j in jobs])
+                for j, res in zip(jobs, results):
+                    j.future.set_result(res)
+            except Exception as e:  # pragma: no cover
+                for j in jobs:
+                    if not j.future.done():
+                        j.future.set_exception(e)
+            self.stats["batches"] += 1
+            self.stats["rows"] += len(jobs)
+            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(jobs))

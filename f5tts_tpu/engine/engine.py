@@ -1,0 +1,282 @@
+"""TTS engine: the TPU-native replacement for the reference's inference
+pipeline (``infer/utils_infer.py:357-524``) and model-call path
+(``core/managers.py:82-85``).
+
+Design (SURVEY §7 stage 5):
+
+- **Static-shape buckets.** XLA compiles once per (duration bucket, batch
+  bucket); requests pad up to the nearest bucket. The reference re-runs eager
+  torch at every shape.
+- **Batched chunks.** Long texts are chunked (speech-rate-aware byte budget)
+  and chunks are synthesized as ONE batched ODE solve per bucket — the
+  reference loops chunks sequentially at batch 1 (``utils_infer.py:441``).
+- **Fused CFG** and step-invariant text embedding inside the sampler
+  (``f5tts_tpu.sampling.euler``).
+- **Vocoder in-graph.** Mel -> waveform decode is jitted with the sampler;
+  generated frames are rolled to the origin with a gather so the decode is
+  static-shape, zero-masked beyond each row's generated length (matches the
+  reference's zero conv padding at the clip edge).
+
+Host-side work (text encode, wav io, crossfade) stays in numpy; everything
+between cond-mel and waveform is one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.audio.preprocess import TARGET_RMS, TARGET_SR, normalize_rms, resample
+from f5tts_tpu.audio.stitch import crossfade_concat
+from f5tts_tpu.models.dit import DiTConfig
+from f5tts_tpu.models.vocos import VocosConfig, vocos_decode
+from f5tts_tpu.ops.mel import MelConfig, log_mel_spectrogram
+from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm
+from f5tts_tpu.text.chunker import chunk_text, duration_frames, max_chars_for_ref
+from f5tts_tpu.text.tokenizer import Tokenizer
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    mel: MelConfig = field(default_factory=MelConfig)
+    vocoder: VocosConfig = field(default_factory=VocosConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    duration_buckets: tuple[int, ...] = (256, 512, 768, 1024, 1536, 2048, 3072, 4096)
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    text_pad: int = 512
+    max_duration: int = 4096  # model/cfm.py:93
+    compute_dtype: str = "bfloat16"
+    cross_fade_duration: float = 0.15
+    target_rms: float = TARGET_RMS
+    speed: float = 1.0
+
+
+def _bucket(v: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class RowSpec:
+    """One utterance-chunk to synthesize: its own reference voice + duration."""
+
+    text: str  # ref_text + gen chunk
+    cond_mel: np.ndarray  # (ref_frames, n_mels)
+    ref_frames: int
+    duration: int  # total frames incl. ref
+    steps: int = 32
+    cfg_strength: float = 2.0
+    seed: int | None = None
+
+
+class TTSEngine:
+    def __init__(
+        self,
+        dit_params,
+        dit_cfg: DiTConfig,
+        vocos_params,
+        tokenizer: Tokenizer,
+        cfg: EngineConfig = EngineConfig(),
+    ):
+        self.dit_params = dit_params
+        self.dit_cfg = dit_cfg
+        self.vocos_params = vocos_params
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._host_rng = np.random.default_rng()
+
+    # ------------------------------------------------------------------
+    # compiled core
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled(self, n: int, b: int, nt: int, steps: int, cfg_strength: float):
+        sampler = SamplerConfig(
+            steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
+            method=self.cfg.sampler.method,
+        )
+        vcfg = self.cfg.vocoder
+
+        def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
+            mel_out = sample_cfm(
+                dit_params, self.dit_cfg,
+                cond=cond, cond_lens=cond_lens, text=text, duration=duration,
+                sampler=sampler, seeds=seeds, compute_dtype=self.compute_dtype,
+            )
+            # roll generated frames to origin; zero beyond generated length
+            idx = (jnp.arange(n)[None, :] + cond_lens[:, None]) % n
+            gen = jnp.take_along_axis(mel_out, idx[..., None], axis=1)
+            gen_len = duration - cond_lens
+            gen = jnp.where(jnp.arange(n)[None, :, None] < gen_len[:, None, None], gen, 0.0)
+            wave = vocos_decode(vocos_params, gen.astype(jnp.float32), vcfg)
+            return gen, wave
+
+        return jax.jit(fn)
+
+    def warmup(self, buckets: list[tuple[int, int]] | None = None, steps: int | None = None,
+               cfg_strength: float | None = None) -> None:
+        """Pre-compile (duration, batch) buckets so the first request doesn't
+        pay XLA compile latency (the reference has no AOT story at all)."""
+        steps = steps if steps is not None else self.cfg.sampler.steps
+        guidance = cfg_strength if cfg_strength is not None else self.cfg.sampler.cfg_strength
+        buckets = buckets or [(self.cfg.duration_buckets[0], self.cfg.batch_buckets[0])]
+        for nb, bb in buckets:
+            fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
+            cond = jnp.zeros((bb, nb, self.cfg.mel.n_mels), jnp.float32)
+            out = fn(
+                self.dit_params, self.vocos_params, cond,
+                jnp.full((bb,), 2, jnp.int32),
+                jnp.full((bb, self.cfg.text_pad), -1, jnp.int32),
+                jnp.full((bb,), nb, jnp.int32),
+                jnp.zeros((bb,), jnp.int32),
+            )
+            jax.block_until_ready(out)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self,
+        gen_text: str,
+        ref_audio: np.ndarray,
+        ref_sr: int,
+        ref_text: str,
+        *,
+        speed: float | None = None,
+        fix_duration_secs: float | None = None,
+        nfe_step: int | None = None,
+        cfg_strength: float | None = None,
+        seed: int | None = None,
+        cross_fade_duration: float | None = None,
+    ) -> tuple[np.ndarray, int, np.ndarray]:
+        """Full text -> waveform path (parity contract of ``infer_process``,
+        ``utils_infer.py:357-400``): returns (wave, 24000, concat mel)."""
+        cfg = self.cfg
+        speed = speed if speed is not None else cfg.speed
+        steps = nfe_step if nfe_step is not None else cfg.sampler.steps
+        guidance = cfg_strength if cfg_strength is not None else cfg.sampler.cfg_strength
+        xfade = cross_fade_duration if cross_fade_duration is not None else cfg.cross_fade_duration
+
+        # --- reference audio conditioning (utils_infer.py:423-433)
+        if ref_audio.ndim == 2:
+            ref_audio = ref_audio.mean(axis=0)
+        ref_audio, rms = normalize_rms(ref_audio, cfg.target_rms)
+        if ref_sr != TARGET_SR:
+            ref_audio = resample(ref_audio, ref_sr, TARGET_SR)
+        ref_secs = len(ref_audio) / TARGET_SR
+
+        if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
+            ref_text = ref_text + " "
+
+        cond_mel = np.asarray(log_mel_spectrogram(jnp.asarray(ref_audio[None]), cfg.mel))[0]
+        ref_frames = len(ref_audio) // cfg.mel.hop_length
+
+        # --- chunking (utils_infer.py:376-378)
+        chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs), 1))
+        if not chunks:
+            chunks = [gen_text]
+
+        durations = [
+            min(
+                duration_frames(ref_frames, ref_text, c, speed, fix_duration_secs,
+                                cfg.mel.sample_rate, cfg.mel.hop_length),
+                cfg.max_duration,
+            )
+            for c in chunks
+        ]
+
+        waves, mels = self.synthesize_batch(
+            chunks, cond_mel[:ref_frames], ref_frames, ref_text, durations,
+            steps=steps, cfg_strength=guidance, seed=seed,
+        )
+        if rms < cfg.target_rms:
+            waves = [w * rms / cfg.target_rms for w in waves]
+
+        final = crossfade_concat(waves, xfade, TARGET_SR)
+        combined_mel = np.concatenate(mels, axis=0) if mels else np.zeros((0, cfg.mel.n_mels), np.float32)
+        return final, TARGET_SR, combined_mel
+
+    def synthesize_batch(
+        self,
+        chunks: list[str],
+        cond_mel: np.ndarray,  # (ref_frames, n_mels)
+        ref_frames: int,
+        ref_text: str,
+        durations: list[int],
+        *,
+        steps: int,
+        cfg_strength: float,
+        seed: int | None = None,
+    ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """Synthesize one request's chunks as batched rows (input order preserved)."""
+        rows = [
+            RowSpec(
+                text=ref_text + c, cond_mel=cond_mel, ref_frames=ref_frames,
+                duration=d, steps=steps, cfg_strength=cfg_strength, seed=seed,
+            )
+            for c, d in zip(chunks, durations)
+        ]
+        out = self.synthesize_rows(rows)
+        return [w for w, _ in out], [m_ for _, m_ in out]
+
+    def synthesize_rows(self, rows: list["RowSpec"]) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Row-level batched synthesis: rows may carry *different* reference
+        voices/durations (the cross-request continuous-batching primitive).
+        Groups rows by (duration bucket, steps, cfg); one compiled call per
+        group. Returns per-row (wave, gen mel)."""
+        cfg = self.cfg
+        results: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(rows)
+
+        groups: dict[tuple, list[int]] = {}
+        for i, r in enumerate(rows):
+            nb = _bucket(max(r.duration, r.ref_frames + 2), cfg.duration_buckets)
+            groups.setdefault((nb, r.steps, r.cfg_strength), []).append(i)
+
+        for (nb, steps, guidance), idxs in groups.items():
+            for start in range(0, len(idxs), cfg.batch_buckets[-1]):
+                sub = idxs[start : start + cfg.batch_buckets[-1]]
+                bb = _bucket(len(sub), cfg.batch_buckets)
+                pad_rows = bb - len(sub)
+
+                text_ids = self.tokenizer.encode([rows[i].text for i in sub], pad_to=self.cfg.text_pad)
+                if pad_rows:
+                    text_ids = np.concatenate([text_ids, np.repeat(text_ids[:1], pad_rows, 0)])
+                cond = np.zeros((bb, nb, cfg.mel.n_mels), np.float32)
+                cond_lens = np.empty((bb,), np.int32)
+                dur = np.empty((bb,), np.int32)
+                for row, i in enumerate(sub):
+                    r = rows[i]
+                    rf = min(r.ref_frames, nb)
+                    cond[row, :rf] = r.cond_mel[:rf]
+                    cond_lens[row] = rf
+                    dur[row] = min(r.duration, nb)
+                seeds = np.empty((bb,), np.int32)
+                for row, i in enumerate(sub):
+                    seeds[row] = rows[i].seed if rows[i].seed is not None else self._host_rng.integers(2**31 - 1)
+                if pad_rows:
+                    cond[len(sub) :] = cond[0]
+                    cond_lens[len(sub) :] = cond_lens[0]
+                    dur[len(sub) :] = dur[0]
+                    seeds[len(sub) :] = seeds[0]
+
+                fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
+                gen_mel, wave = fn(
+                    self.dit_params, self.vocos_params,
+                    jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
+                    jnp.asarray(seeds),
+                )
+                gen_mel = np.asarray(gen_mel, np.float32)
+                wave = np.asarray(wave, np.float32)
+                for row, i in enumerate(sub):
+                    gen_len = int(dur[row]) - int(cond_lens[row])
+                    n_samples = max((gen_len - 1) * cfg.mel.hop_length, 0)
+                    results[i] = (wave[row, :n_samples], gen_mel[row, :gen_len])
+        return results  # type: ignore[return-value]

@@ -1,0 +1,166 @@
+"""Torch-checkpoint converters: F5-TTS / IndicF5 CFM and Vocos layouts -> JAX pytrees.
+
+Covers the reference's checkpoint contract (``infer/utils_infer.py:175-218``):
+``.pt`` (full trainer state or bare) and ``.safetensors``; EMA weights stored
+as ``ema_model.*`` with ``initted``/``step`` bookkeeping keys; stale
+mel-filterbank buffer keys dropped. Key layout documented from
+``model/backbones/dit.py`` / ``model/modules.py`` module names.
+
+Torch tensors -> our layouts: Linear ``(out,in)`` -> ``(in,out)``; Conv1d
+``(out,in/g,k)`` -> ``(k,in/g,out)``; GRN ``(1,1,d)`` -> ``(d,)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from f5tts_tpu.models.dit import DiTConfig
+from f5tts_tpu.models.vocos import VocosConfig
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a ``.pt``/``.ckpt`` (torch) or ``.safetensors`` file to numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "ema_model_state_dict" in ckpt:
+        ckpt = ckpt["ema_model_state_dict"]
+    elif isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]
+    return {k: v.float().numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}
+
+
+def strip_ema(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """``ema_model.*`` -> bare keys; drop EMA bookkeeping and stale mel buffers
+    (``utils_infer.py:195-207``)."""
+    if any(k.startswith("ema_model.") for k in sd):
+        sd = {k.replace("ema_model.", ""): v for k, v in sd.items() if k not in ("initted", "step")}
+    for key in list(sd):
+        if key.startswith("mel_spec.") or key in ("initted", "step"):
+            sd.pop(key)
+    return sd
+
+
+def _lin(sd, prefix, bias=True):
+    p = {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _conv(sd, prefix):
+    return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].transpose(2, 1, 0)), "b": sd[f"{prefix}.bias"]}
+
+
+def _stack(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *trees)
+
+
+def _convnext_block_from(sd, prefix):
+    return {
+        "dwconv": _conv(sd, f"{prefix}.dwconv"),
+        "norm_w": sd[f"{prefix}.norm.weight"],
+        "norm_b": sd[f"{prefix}.norm.bias"],
+        "pw1": _lin(sd, f"{prefix}.pwconv1"),
+        "grn_gamma": sd[f"{prefix}.grn.gamma"].reshape(-1),
+        "grn_beta": sd[f"{prefix}.grn.beta"].reshape(-1),
+        "pw2": _lin(sd, f"{prefix}.pwconv2"),
+    }
+
+
+def convert_f5_dit(sd: dict[str, np.ndarray], cfg: DiTConfig) -> dict:
+    """Bare CFM state dict (keys ``transformer.*``) -> ``init_dit`` pytree."""
+    sd = strip_ema(dict(sd))
+    t = "transformer"
+    params = {
+        "time_embed": {
+            "mlp1": _lin(sd, f"{t}.time_embed.time_mlp.0"),
+            "mlp2": _lin(sd, f"{t}.time_embed.time_mlp.2"),
+        },
+        "text_embed": {
+            "embed": {"w": sd[f"{t}.text_embed.text_embed.weight"]},
+            "blocks": _stack(
+                [_convnext_block_from(sd, f"{t}.text_embed.text_blocks.{i}") for i in range(cfg.conv_layers)]
+            )
+            if cfg.conv_layers > 0
+            else None,
+        },
+        "input_embed": {
+            "proj": _lin(sd, f"{t}.input_embed.proj"),
+            "conv_pos": {
+                "conv1": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "blocks": _stack(
+            [
+                {
+                    "attn_norm": {"linear": _lin(sd, f"{t}.transformer_blocks.{i}.attn_norm.linear")},
+                    "attn": {
+                        "to_q": _lin(sd, f"{t}.transformer_blocks.{i}.attn.to_q"),
+                        "to_k": _lin(sd, f"{t}.transformer_blocks.{i}.attn.to_k"),
+                        "to_v": _lin(sd, f"{t}.transformer_blocks.{i}.attn.to_v"),
+                        "to_out": _lin(sd, f"{t}.transformer_blocks.{i}.attn.to_out.0"),
+                    },
+                    "ff": {
+                        "in": _lin(sd, f"{t}.transformer_blocks.{i}.ff.ff.0.0"),
+                        "out": _lin(sd, f"{t}.transformer_blocks.{i}.ff.ff.2"),
+                    },
+                }
+                for i in range(cfg.depth)
+            ]
+        ),
+        "norm_out": {"linear": _lin(sd, f"{t}.norm_out.linear")},
+        "proj_out": _lin(sd, f"{t}.proj_out"),
+    }
+    if cfg.long_skip_connection:
+        params["long_skip"] = _lin(sd, f"{t}.long_skip_connection", bias=False)
+    return _to_jnp(params)
+
+
+def convert_vocos(sd: dict[str, np.ndarray], cfg: VocosConfig = VocosConfig()) -> dict:
+    """``charactr/vocos-mel-24khz`` state dict -> ``init_vocos`` pytree."""
+    params = {
+        "embed": _conv(sd, "backbone.embed"),
+        "norm_w": sd["backbone.norm.weight"],
+        "norm_b": sd["backbone.norm.bias"],
+        "blocks": _stack(
+            [
+                {
+                    "dwconv": _conv(sd, f"backbone.convnext.{i}.dwconv"),
+                    "norm_w": sd[f"backbone.convnext.{i}.norm.weight"],
+                    "norm_b": sd[f"backbone.convnext.{i}.norm.bias"],
+                    "pw1": _lin(sd, f"backbone.convnext.{i}.pwconv1"),
+                    "pw2": _lin(sd, f"backbone.convnext.{i}.pwconv2"),
+                    "gamma": sd[f"backbone.convnext.{i}.gamma"].reshape(-1),
+                }
+                for i in range(cfg.num_layers)
+            ]
+        ),
+        "final_norm_w": sd["backbone.final_layer_norm.weight"],
+        "final_norm_b": sd["backbone.final_layer_norm.bias"],
+        "head": _lin(sd, "head.out"),
+    }
+    return _to_jnp(params)
+
+
+def _to_jnp(tree):
+    import jax
+
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
+
+
+def load_f5_checkpoint(path: str, cfg: DiTConfig) -> dict:
+    return convert_f5_dit(load_torch_state_dict(path), cfg)
+
+
+def load_vocos_checkpoint(path: str, cfg: VocosConfig = VocosConfig()) -> dict:
+    return convert_vocos(load_torch_state_dict(path), cfg)

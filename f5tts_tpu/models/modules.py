@@ -1,0 +1,315 @@
+"""Building-block layers shared by the DiT / UNetT / MMDiT backbones.
+
+Functional re-designs of the reference blocks (``model/modules.py``): each
+layer is an ``init_*`` returning a param pytree plus an ``apply`` function.
+Numerics are kept bit-compatible with the reference where checkpoints care:
+
+- AdaLN-Zero: time emb -> SiLU -> Linear(dim -> 6*dim) chunked into
+  shift/scale/gate pairs (``modules.py:276-290``).
+- ConvNeXtV2: depthwise conv k=7 -> LN(eps 1e-6) -> pw1 -> exact GELU -> GRN ->
+  pw2, residual (``modules.py:241-269``).
+- ConvPositionEmbedding: 2x grouped Conv1d(k=31, groups=16) + Mish
+  (``modules.py:167-190``).
+- FeedForward uses *tanh* GELU (``modules.py:556``) while ConvNeXtV2 uses exact
+  GELU — both preserved.
+
+Weight layout conventions (JAX-native, converter transposes from torch):
+Linear ``w: (in, out)``; Conv1d kernel ``(width, in/groups, out)`` for
+``('NWC','WIO','NWC')`` dimension numbers; Embedding ``(vocab, dim)``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": _uniform(kw, (d_in, d_out), bound)}
+    if bias:
+        p["b"] = _uniform(kb, (d_out,), bound)
+    return p
+
+
+def linear(p, x):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_embedding(key, n_vocab: int, dim: int):
+    return {"w": jax.random.normal(key, (n_vocab, dim))}
+
+
+def embedding(p, ids):
+    return p["w"][ids]
+
+
+def init_conv1d(key, d_in: int, d_out: int, width: int, groups: int = 1):
+    kw, kb = jax.random.split(key)
+    fan_in = (d_in // groups) * width
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": _uniform(kw, (width, d_in // groups, d_out), bound),
+        "b": _uniform(kb, (d_out,), bound),
+    }
+
+
+def conv1d(p, x, groups: int = 1, padding: str | int = "SAME", dilation: int = 1):
+    """``x: (b, n, c)`` channel-last 1-D convolution."""
+    if isinstance(padding, int):
+        pad = [(padding, padding)]
+    else:
+        pad = padding
+    y = lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1,),
+        padding=pad,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def layer_norm(x, eps: float = 1e-6, weight=None, bias=None):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(p, x, eps: float = 1e-8):
+    """x-transformers RMSNorm: ``x * scale * g`` with unit-RMS normalization."""
+    x32 = x.astype(jnp.float32)
+    scale = x.shape[-1] ** 0.5
+    normed = x32 * lax.rsqrt(jnp.maximum(jnp.sum(x32 * x32, -1, keepdims=True), eps)) * scale
+    return (normed * p["g"].astype(jnp.float32)).astype(x.dtype)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding (modules.py:149-161, 648-658)
+# ---------------------------------------------------------------------------
+
+
+def init_timestep_embedding(key, dim: int, freq_embed_dim: int = 256):
+    k1, k2 = jax.random.split(key)
+    return {"mlp1": init_linear(k1, freq_embed_dim, dim), "mlp2": init_linear(k2, dim, dim)}
+
+
+def sinus_position_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """``(b,) -> (b, dim)``; reference SinusPositionEmbedding (scale 1000)."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    args = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def timestep_embedding(p, time: jnp.ndarray, freq_embed_dim: int = 256) -> jnp.ndarray:
+    h = sinus_position_embedding(time, freq_embed_dim).astype(time.dtype)
+    h = linear(p["mlp1"], h)
+    return linear(p["mlp2"], jax.nn.silu(h))
+
+
+# ---------------------------------------------------------------------------
+# conv position embedding (modules.py:167-190)
+# ---------------------------------------------------------------------------
+
+
+def init_conv_pos_embedding(key, dim: int, kernel_size: int = 31, groups: int = 16):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": init_conv1d(k1, dim, dim, kernel_size, groups),
+        "conv2": init_conv1d(k2, dim, dim, kernel_size, groups),
+    }
+
+
+def conv_pos_embedding(p, x, mask=None, kernel_size: int = 31, groups: int = 16):
+    pad = kernel_size // 2
+    if mask is not None:
+        x = jnp.where(mask[..., None], x, 0.0)
+    y = mish(conv1d(p["conv1"], x, groups=groups, padding=pad))
+    y = mish(conv1d(p["conv2"], y, groups=groups, padding=pad))
+    if mask is not None:
+        y = jnp.where(mask[..., None], y, 0.0)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# GRN + ConvNeXtV2 (modules.py:225-269)
+# ---------------------------------------------------------------------------
+
+
+def init_convnext_v2_block(key, dim: int, intermediate_dim: int, dilation: int = 1):
+    ks = jax.random.split(key, 4)
+    return {
+        "dwconv": init_conv1d(ks[0], dim, dim, 7, groups=dim),
+        "norm_w": jnp.ones((dim,)),
+        "norm_b": jnp.zeros((dim,)),
+        "pw1": init_linear(ks[1], dim, intermediate_dim),
+        "grn_gamma": jnp.zeros((intermediate_dim,)),
+        "grn_beta": jnp.zeros((intermediate_dim,)),
+        "pw2": init_linear(ks[2], intermediate_dim, dim),
+    }
+
+
+def grn(gamma, beta, x):
+    """Global response norm over the sequence axis (modules.py:231-234)."""
+    gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True))
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+    nx = nx.astype(x.dtype)
+    return gamma.astype(x.dtype) * (x * nx) + beta.astype(x.dtype) + x
+
+
+def convnext_v2_block(p, x, dilation: int = 1):
+    pad = (dilation * 6) // 2
+    h = conv1d(p["dwconv"], x, groups=x.shape[-1], padding=pad, dilation=dilation)
+    h = layer_norm(h, 1e-6, p["norm_w"], p["norm_b"])
+    h = linear(p["pw1"], h)
+    h = jax.nn.gelu(h, approximate=False)
+    h = grn(p["grn_gamma"], p["grn_beta"], h)
+    h = linear(p["pw2"], h)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# AdaLayerNormZero (modules.py:276-311)
+# ---------------------------------------------------------------------------
+
+
+def init_adaln_zero(key, dim: int):
+    return {"linear": init_linear(key, dim, dim * 6)}
+
+
+def adaln_zero(p, x, emb):
+    """Returns modulated x for attention plus (gate_msa, shift_mlp, scale_mlp, gate_mlp)."""
+    mod = linear(p["linear"], jax.nn.silu(emb))
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+    h = layer_norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+    return h, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+def init_adaln_zero_final(key, dim: int):
+    return {"linear": init_linear(key, dim, dim * 2)}
+
+
+def adaln_zero_final(p, x, emb):
+    mod = linear(p["linear"], jax.nn.silu(emb))
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    return layer_norm(x) * (1 + scale[:, None]) + shift[:, None]
+
+
+# ---------------------------------------------------------------------------
+# FeedForward (modules.py:317-328) — tanh GELU
+# ---------------------------------------------------------------------------
+
+
+def init_feed_forward(key, dim: int, mult: int = 4, dim_out: int | None = None):
+    k1, k2 = jax.random.split(key)
+    inner = int(dim * mult)
+    return {"in": init_linear(k1, dim, inner), "out": init_linear(k2, inner, dim_out or dim)}
+
+
+def feed_forward(p, x):
+    return linear(p["out"], jax.nn.gelu(linear(p["in"], x), approximate=True))
+
+
+# ---------------------------------------------------------------------------
+# Attention (modules.py:335-449)
+# ---------------------------------------------------------------------------
+
+
+def init_attention(key, dim: int, heads: int, dim_head: int):
+    ks = jax.random.split(key, 4)
+    inner = heads * dim_head
+    return {
+        "to_q": init_linear(ks[0], dim, inner),
+        "to_k": init_linear(ks[1], dim, inner),
+        "to_v": init_linear(ks[2], dim, inner),
+        "to_out": init_linear(ks[3], inner, dim),
+    }
+
+
+def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False):
+    """Self-attention with the reference's flat-RoPE parity quirk (see ops.rope)."""
+    from f5tts_tpu.ops.attention import sdpa_xla
+    from f5tts_tpu.ops.rope import apply_rotary, apply_rotary_per_head
+
+    b, n, _ = x.shape
+    q = linear(p["to_q"], x)
+    k = linear(p["to_k"], x)
+    v = linear(p["to_v"], x)
+
+    if rope_freqs is not None and not rope_all_heads:
+        q = apply_rotary(q, rope_freqs)
+        k = apply_rotary(k, rope_freqs)
+
+    def split_heads(t):
+        return t.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    if rope_freqs is not None and rope_all_heads:
+        q = apply_rotary_per_head(q, rope_freqs)
+        k = apply_rotary_per_head(k, rope_freqs)
+
+    if impl == "flash":
+        from f5tts_tpu.ops.pallas.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v, mask)
+    else:
+        o = sdpa_xla(q, k, v, mask)
+
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, -1)
+    o = linear(p["to_out"], o)
+    if mask is not None:
+        o = jnp.where(mask[..., None], o, 0.0)
+    return o
+
+
+# ---------------------------------------------------------------------------
+# DiT block (modules.py:542-572)
+# ---------------------------------------------------------------------------
+
+
+def init_dit_block(key, dim: int, heads: int, dim_head: int, ff_mult: int):
+    ks = jax.random.split(key, 3)
+    return {
+        "attn_norm": init_adaln_zero(ks[0], dim),
+        "attn": init_attention(ks[1], dim, heads, dim_head),
+        "ff": init_feed_forward(ks[2], dim, ff_mult),
+    }
+
+
+def dit_block(p, x, t_emb, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False):
+    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln_zero(p["attn_norm"], x, t_emb)
+    attn_out = attention(p["attn"], norm, heads, rope_freqs, mask, impl, rope_all_heads)
+    x = x + gate_msa[:, None] * attn_out
+    norm = layer_norm(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+    x = x + gate_mlp[:, None] * feed_forward(p["ff"], norm)
+    return x

@@ -1,0 +1,158 @@
+"""UNetT backbone (E2-TTS flavor): flat transformer with U-Net skip connections.
+
+Re-design of ``model/backbones/unett.py:96-219``:
+- time embedding is prepended as a sequence token (``unett.py:184-188``), mask
+  left-padded with True;
+- RMSNorm pre-norm attention/FF blocks;
+- first-half hidden states are stacked by a `lax.scan` and consumed LIFO by the
+  second half (concat + Linear, or add) — the reference's Python list
+  push/pop (``unett.py:193-209``) expressed as two scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from f5tts_tpu.models import modules as m
+from f5tts_tpu.models.dit import _stack, text_embed as dit_text_embed
+from f5tts_tpu.ops.rope import rotary_freqs
+
+
+@dataclass(frozen=True)
+class UNetTConfig:
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 4
+    mel_dim: int = 100
+    text_num_embeds: int = 256
+    text_dim: int = 512
+    conv_layers: int = 4
+    skip_connect_type: str = "concat"  # "concat" | "add" | "none"
+    max_pos: int = 4096
+    attn_impl: str = "xla"
+    rope_all_heads: bool = False
+
+    @staticmethod
+    def base() -> "UNetTConfig":
+        """E2-TTS Base: 333.2M params (`infer/infer_cli.py:153`)."""
+        return UNetTConfig()
+
+
+def _init_half_block(key, cfg: UNetTConfig, with_skip: bool):
+    ks = jax.random.split(key, 5)
+    p = {
+        "attn_norm": {"g": jnp.ones((cfg.dim,))},
+        "attn": m.init_attention(ks[0], cfg.dim, cfg.heads, cfg.dim_head),
+        "ff_norm": {"g": jnp.ones((cfg.dim,))},
+        "ff": m.init_feed_forward(ks[1], cfg.dim, cfg.ff_mult),
+    }
+    if with_skip:
+        p["skip_proj"] = m.init_linear(ks[2], cfg.dim * 2, cfg.dim, bias=False)
+    return p
+
+
+def init_unett(key: jax.Array, cfg: UNetTConfig):
+    assert cfg.depth % 2 == 0, "UNetT depth must be even"
+    ks = jax.random.split(key, 8)
+    half = cfg.depth // 2
+    needs_skip = cfg.skip_connect_type == "concat"
+    return {
+        "time_embed": m.init_timestep_embedding(ks[0], cfg.dim),
+        "text_embed": {
+            "embed": m.init_embedding(ks[1], cfg.text_num_embeds + 1, cfg.text_dim),
+            "blocks": _stack(
+                [
+                    m.init_convnext_v2_block(k, cfg.text_dim, cfg.text_dim * 2)
+                    for k in jax.random.split(ks[2], cfg.conv_layers)
+                ]
+            )
+            if cfg.conv_layers > 0
+            else None,
+        },
+        "input_embed": {
+            "proj": m.init_linear(ks[3], cfg.mel_dim * 2 + cfg.text_dim, cfg.dim),
+            "conv_pos": m.init_conv_pos_embedding(ks[4], cfg.dim),
+        },
+        "first_half": _stack([_init_half_block(k, cfg, False) for k in jax.random.split(ks[5], half)]),
+        "second_half": _stack([_init_half_block(k, cfg, needs_skip) for k in jax.random.split(ks[6], half)]),
+        "norm_out": {"g": jnp.ones((cfg.dim,))},
+        "proj_out": m.init_linear(ks[7], cfg.dim, cfg.mel_dim),
+    }
+
+
+def unett_embed(params, cfg: UNetTConfig, text, seq_len: int, drop_text):
+    # same TextEmbedding wiring as DiT (unett.py:35-72)
+    from f5tts_tpu.models.dit import DiTConfig
+
+    proxy = DiTConfig(text_dim=cfg.text_dim, max_pos=cfg.max_pos)
+    return dit_text_embed(params, proxy, text, seq_len, drop_text)
+
+
+def unett_forward(
+    params,
+    cfg: UNetTConfig,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    text: jnp.ndarray | None,
+    time: jnp.ndarray,
+    drop_audio_cond: jnp.ndarray,
+    drop_text: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    text_emb: jnp.ndarray | None = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    b, n, _ = x.shape
+    if time.ndim == 0:
+        time = jnp.broadcast_to(time, (b,))
+
+    t = m.timestep_embedding(params["time_embed"], time.astype(compute_dtype))
+    if text_emb is None:
+        text_emb = unett_embed(params, cfg, text, n, drop_text)
+
+    x = x.astype(compute_dtype)
+    cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond.astype(compute_dtype))
+    h = m.linear(params["input_embed"]["proj"], jnp.concatenate([x, cond, text_emb.astype(compute_dtype)], -1))
+    h = m.conv_pos_embedding(params["input_embed"]["conv_pos"], h, mask) + h
+
+    # prepend time token (unett.py:184-188)
+    h = jnp.concatenate([t[:, None, :], h], axis=1)
+    if mask is not None:
+        mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+
+    freqs = jnp.asarray(rotary_freqs(n + 1, cfg.dim_head))
+
+    def attn_ff(blk, hh):
+        a = m.attention(
+            blk["attn"], m.rms_norm(blk["attn_norm"], hh), cfg.heads, freqs, mask,
+            impl=cfg.attn_impl, rope_all_heads=cfg.rope_all_heads,
+        )
+        hh = a + hh
+        return m.feed_forward(blk["ff"], m.rms_norm(blk["ff_norm"], hh)) + hh
+
+    def first_body(carry, blk):
+        out = attn_ff(blk, carry)
+        return out, carry  # push pre-block state as the skip (unett.py:200-201)
+
+    h, skips = lax.scan(first_body, h, params["first_half"])
+
+    # LIFO: reverse the stacked skips along depth
+    skips = jax.tree.map(lambda s: s[::-1], skips)
+
+    def second_body(carry, inp):
+        blk, skip = inp
+        if cfg.skip_connect_type == "concat":
+            carry = m.linear(blk["skip_proj"], jnp.concatenate([carry, skip], axis=-1))
+        elif cfg.skip_connect_type == "add":
+            carry = carry + skip
+        return attn_ff(blk, carry), None
+
+    h, _ = lax.scan(second_body, h, (params["second_half"], skips))
+
+    h = m.rms_norm(params["norm_out"], h)[:, 1:, :]
+    return m.linear(params["proj_out"], h)

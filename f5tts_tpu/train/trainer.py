@@ -1,0 +1,216 @@
+"""Flow-matching trainer: pjit DP+TP train step, EMA, resumable checkpoints.
+
+Capability parity with the reference Trainer (``model/trainer.py:24-380``) —
+AdamW, linear warmup -> linear decay, grad-clip 1.0, EMA, frame-packed dynamic
+batching (``f5tts_tpu.train.data``), step-resume — re-designed for TPU:
+
+- one jitted train step over a ``(data, model)`` mesh; the gradient all-reduce
+  the reference gets from DDP/NCCL falls out of batch sharding under jit,
+- EMA update runs on-device inside the step (vs. host-side rank-0 EMA),
+- checkpoints are orbax sharded state (vs. ``torch.save`` of everything).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from f5tts_tpu.models.cfm import CFMConfig, cfm_loss
+from f5tts_tpu.models.dit import init_dit
+from f5tts_tpu.parallel.sharding import dit_param_specs
+from f5tts_tpu.train.ema import EMAConfig, ema_init, ema_update
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 7.5e-5
+    warmup_updates: int = 20_000  # configs/F5TTS_Base_train.yaml:15
+    total_updates: int = 1_200_000
+    grad_clip: float = 1.0  # trainer.py:318-319
+    weight_decay: float = 0.01  # torch AdamW default used by the reference
+    batch_frames: int = 38_400  # frames per device batch (yaml:7)
+    max_grad_accum: int = 1
+    ema: EMAConfig = field(default_factory=EMAConfig)
+    seed: int = 0
+
+
+def lr_schedule(cfg: TrainConfig):
+    """Linear warmup 0 -> lr then linear decay lr -> 0 (trainer.py:254-265)."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_updates),
+            optax.linear_schedule(cfg.learning_rate, 0.0, max(cfg.total_updates - cfg.warmup_updates, 1)),
+        ],
+        [cfg.warmup_updates],
+    )
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay),
+    )
+
+
+def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=jnp.bfloat16):
+    """Returns ``step(state, batch) -> (state, metrics)``; pure, jit/pjit-able.
+
+    state = dict(params, opt_state, ema, step); batch = dict(mel, text, lens, key).
+    """
+    optimizer = make_optimizer(train_cfg)
+
+    def step_fn(state, batch):
+        def loss_fn(params):
+            return cfm_loss(
+                params, model_cfg, batch["key"], batch["mel"], batch["text"], batch["lens"],
+                compute_dtype=compute_dtype,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        step = state["step"] + 1
+        ema = ema_update(state["ema"], params, step, train_cfg.ema)
+        gnorm = optax.global_norm(grads)
+        return (
+            {"params": params, "opt_state": opt_state, "ema": ema, "step": step},
+            {"loss": loss, "grad_norm": gnorm, **aux},
+        )
+
+    return step_fn
+
+
+def init_train_state(key, model_cfg: CFMConfig, train_cfg: TrainConfig):
+    params = init_dit(key, model_cfg.model)
+    optimizer = make_optimizer(train_cfg)
+    return {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "ema": ema_init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedShardings for the whole train state: params/EMA via the TP rules,
+    optimizer moments mirror their params, scalars replicated."""
+    param_specs = dit_param_specs(state["params"])
+    # walk opt_state: any subtree shaped exactly like params reuses the TP
+    # specs (adam mu/nu mirror their params); everything else replicates.
+    params_treedef = jax.tree.structure(state["params"])
+
+    def specs_for(tree):
+        try:
+            if jax.tree.structure(tree) == params_treedef:
+                return param_specs
+        except Exception:
+            pass
+        if isinstance(tree, (dict,)):
+            return {k: specs_for(v) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            mapped = [specs_for(v) for v in tree]
+            return type(tree)(mapped) if not hasattr(tree, "_fields") else type(tree)(*mapped)
+        return jax.tree.map(lambda _: P(), tree)
+
+    spec_tree = {
+        "params": param_specs,
+        "opt_state": specs_for(state["opt_state"]),
+        "ema": param_specs,
+        "step": P(),
+    }
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree, is_leaf=lambda x: isinstance(x, P))
+
+
+class Trainer:
+    """Host-side training loop: data iterator in, metrics/checkpoints out."""
+
+    def __init__(
+        self,
+        model_cfg: CFMConfig,
+        train_cfg: TrainConfig = TrainConfig(),
+        mesh: Mesh | None = None,
+        compute_dtype=jnp.bfloat16,
+        checkpoint_dir: str | None = None,
+        log_every: int = 50,
+        save_every: int = 10_000,
+        logger=None,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.checkpoint_dir = checkpoint_dir
+        self.log_every = log_every
+        self.save_every = save_every
+        self.logger = logger
+        self._step_fn = None
+
+    def init_or_resume(self):
+        state = init_train_state(jax.random.PRNGKey(self.train_cfg.seed), self.model_cfg, self.train_cfg)
+        start_step = 0
+        if self.checkpoint_dir:
+            from f5tts_tpu.train.checkpoint import latest_step, restore_state
+
+            step = latest_step(self.checkpoint_dir)
+            if step is not None:
+                state = restore_state(self.checkpoint_dir, step, state)
+                start_step = int(step)
+        if self.mesh is not None:
+            shardings = state_shardings(state, self.mesh)
+            state = jax.tree.map(jax.device_put, state, shardings)
+            self._shardings = shardings
+        else:
+            self._shardings = None
+        return state, start_step
+
+    def compile_step(self, state):
+        step = make_train_step(self.model_cfg, self.train_cfg, self.compute_dtype)
+        if self.mesh is not None:
+            data_sh = NamedSharding(self.mesh, P("data"))
+            scalar_sh = NamedSharding(self.mesh, P())
+            batch_sh = {"mel": data_sh, "text": data_sh, "lens": data_sh, "key": scalar_sh}
+            self._step_fn = jax.jit(step, in_shardings=(self._shardings, batch_sh), out_shardings=(self._shardings, None))
+        else:
+            self._step_fn = jax.jit(step)
+        return self._step_fn
+
+    def fit(self, state, batches, total_updates: int | None = None):
+        """``batches``: iterator of dict(mel, text, lens) numpy arrays."""
+        if self._step_fn is None:
+            self.compile_step(state)
+        key = jax.random.PRNGKey(self.train_cfg.seed + 1)
+        t0 = time.time()
+        frames_done = 0
+        for i, batch in enumerate(batches):
+            if total_updates is not None and i >= total_updates:
+                break
+            key, sub = jax.random.split(key)
+            device_batch = {
+                "mel": jnp.asarray(batch["mel"]),
+                "text": jnp.asarray(batch["text"]),
+                "lens": jnp.asarray(batch["lens"]),
+                "key": sub,
+            }
+            state, metrics = self._step_fn(state, device_batch)
+            frames_done += int(np.sum(batch["lens"]))
+            step_no = int(state["step"])
+            if self.logger and step_no % self.log_every == 0:
+                dt = time.time() - t0
+                self.logger(
+                    step=step_no,
+                    loss=float(metrics["loss"]),
+                    grad_norm=float(metrics["grad_norm"]),
+                    frames_per_s=frames_done / max(dt, 1e-9),
+                )
+            if self.checkpoint_dir and step_no % self.save_every == 0:
+                from f5tts_tpu.train.checkpoint import save_state
+
+                save_state(self.checkpoint_dir, step_no, state)
+        return state

@@ -1,0 +1,116 @@
+"""Settings + deployment-profile config.
+
+Parity with the reference's config stack (SURVEY §5 "Config / flag system"):
+pydantic-style env settings (``config/settings.py:7-22``), JSON deployment
+profiles choosing per-language model stacks (``dhwani_config.json:4-142``),
+and argparse runtime flags (``--host/--port/--config``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from dataclasses import dataclass, field, replace
+
+RATE_LIMIT_RE = re.compile(r"^\d+/(second|minute|hour|day)$")
+
+# FLORES-style language codes supported by IndicF5-class models
+# (config/constants.py:6-16)
+SUPPORTED_LANGUAGES = {
+    "asm_Beng", "ben_Beng", "brx_Deva", "doi_Deva", "eng_Latn", "gom_Deva",
+    "guj_Gujr", "hin_Deva", "kan_Knda", "kas_Arab", "kas_Deva", "mai_Deva",
+    "mal_Mlym", "mar_Deva", "mni_Beng", "mni_Mtei", "npi_Deva", "ory_Orya",
+    "pan_Guru", "san_Deva", "sat_Olck", "snd_Arab", "snd_Deva", "tam_Taml",
+    "tel_Telu", "urd_Arab", "kas_Arab_2", "mni_Mtei_2", "snd_Deva_2",
+    "asm_Beng_2", "guj_Gujr_2", "mal_Mlym_2", "pan_Guru_2", "ory_Orya_2",
+}
+
+
+@dataclass
+class Settings:
+    host: str = "0.0.0.0"
+    port: int = 7860
+    speech_rate_limit: str = "5/minute"
+    chat_rate_limit: str = "100/minute"
+    device: str = "tpu"
+    dtype: str = "bfloat16"
+    lazy_load_model: bool = False
+    api_key: str = ""  # empty = auth disabled (the reference documents but never enforces auth)
+    tts_ckpt: str = ""
+    tts_vocab: str = ""
+    vocoder_ckpt: str = ""
+    voices_dir: str = ""
+    demo_tiny: bool = False
+    max_batch: int = 32
+    batch_wait_ms: float = 15.0
+    warmup: bool = True  # pre-compile the smallest bucket at load
+    config_name: str = ""
+
+    def __post_init__(self):
+        for name in ("speech_rate_limit", "chat_rate_limit"):
+            v = getattr(self, name)
+            if v and not RATE_LIMIT_RE.match(v):
+                raise ValueError(f"{name} must look like '5/minute', got {v!r}")
+
+    @classmethod
+    def from_env(cls, **overrides) -> "Settings":
+        kw = {}
+        for f_ in cls.__dataclass_fields__.values():
+            env = os.environ.get(f"F5TPU_{f_.name.upper()}")
+            if env is not None:
+                if f_.type in ("int",):
+                    kw[f_.name] = int(env)
+                elif f_.type in ("float",):
+                    kw[f_.name] = float(env)
+                elif f_.type in ("bool",):
+                    kw[f_.name] = env.lower() in ("1", "true", "yes")
+                else:
+                    kw[f_.name] = env
+        kw.update({k: v for k, v in overrides.items() if v is not None})
+        return cls(**kw)
+
+
+def load_deployment_config(path: str, config_name: str, settings: Settings) -> Settings:
+    """Merge one named profile of a dhwani-style JSON deployment config
+    (``core/managers.py:88-102`` semantics: validate name, overwrite fields)."""
+    with open(path, encoding="utf-8") as f:
+        cfg = json.load(f)
+    specific = cfg.get("specific_configs", cfg)
+    if config_name not in specific:
+        raise ValueError(f"unknown config {config_name!r}; have {sorted(specific)}")
+    profile = specific[config_name]
+    g = cfg.get("global_settings", {})
+    updates = {}
+    for key in ("host", "port", "speech_rate_limit", "chat_rate_limit", "device", "dtype"):
+        if key in g:
+            updates[key] = g[key]
+    if "lazy_load" in g:
+        updates["lazy_load_model"] = bool(g["lazy_load"])
+    for key in ("tts_ckpt", "tts_vocab", "vocoder_ckpt", "voices_dir"):
+        if key in profile:
+            updates[key] = profile[key]
+    updates["config_name"] = config_name
+    return replace(settings, **updates)
+
+
+def parse_rate_limit(spec: str) -> tuple[int, float]:
+    """'5/minute' -> (5, 60.0 seconds)."""
+    n, unit = spec.split("/")
+    seconds = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}[unit]
+    return int(n), seconds
+
+
+def parse_arguments(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser("f5tpu-serve")
+    p.add_argument("--host", default=None)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--config", default=None, help="name of deployment profile")
+    p.add_argument("--config-file", default=None, help="deployment JSON path")
+    p.add_argument("--demo-tiny", action="store_true")
+    p.add_argument("--tts-ckpt", default=None)
+    p.add_argument("--tts-vocab", default=None)
+    p.add_argument("--vocoder-ckpt", default=None)
+    p.add_argument("--voices-dir", default=None)
+    return p.parse_args(argv)

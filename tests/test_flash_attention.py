@@ -1,0 +1,43 @@
+"""Pallas flash attention vs XLA SDPA (interpret mode on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from f5tts_tpu.ops.attention import sdpa_xla
+from f5tts_tpu.ops.pallas.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_flash_attention_matches_sdpa(with_mask):
+    rng = np.random.default_rng(0)
+    b, h, n, d = 2, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = np.ones((b, n), bool)
+        m[0, 300:] = False
+        m[1, 450:] = False
+        mask = jnp.asarray(m)
+
+    ref = np.asarray(sdpa_xla(q, k, v, mask))
+    out = np.asarray(flash_attention(q, k, v, mask, block_q=128, block_k=256, interpret=True))
+    if with_mask:
+        valid = np.asarray(mask)
+        for bi in range(b):
+            np.testing.assert_allclose(out[bi, :, valid[bi]], ref[bi, :, valid[bi]], atol=2e-5, rtol=1e-5)
+    else:
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_flash_attention_odd_length_falls_back():
+    rng = np.random.default_rng(1)
+    b, h, n, d = 1, 2, 300, 64  # 300 not divisible by blocks -> xla fallback
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    out = flash_attention(q, q, q, None, interpret=True)
+    ref = sdpa_xla(q, q, q, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)

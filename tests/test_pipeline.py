@@ -1,0 +1,123 @@
+"""Behavioral tests: chunking, duration heuristic, crossfade math, tokenizer,
+ref-audio preprocessing, and an end-to-end engine smoke run (SURVEY §4.3)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from f5tts_tpu.audio.preprocess import clip_ref_audio, normalize_rms, resample
+from f5tts_tpu.audio.stitch import crossfade_concat
+from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
+from f5tts_tpu.models.dit import DiTConfig, init_dit
+from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+from f5tts_tpu.ops.mel import MelConfig
+from f5tts_tpu.sampling.euler import SamplerConfig
+from f5tts_tpu.text.chunker import chunk_text, duration_frames, max_chars_for_ref
+from f5tts_tpu.text.tokenizer import Tokenizer
+
+
+def test_chunk_text_packing():
+    text = "One two three. Four five six! Seven eight? Nine ten."
+    chunks = chunk_text(text, max_chars=20)
+    assert all(len(c.encode("utf-8")) <= 25 for c in chunks)
+    assert " ".join(chunks).replace("  ", " ") .startswith("One two three.")
+    # nothing lost
+    joined = " ".join(chunks)
+    for word in ["One", "six!", "eight?", "ten."]:
+        assert word in joined
+    # single short text -> one chunk
+    assert chunk_text("Hi there.", max_chars=100) == ["Hi there."]
+
+
+def test_duration_heuristic():
+    # frames = ref_frames + ref_frames/ref_bytes * gen_bytes / speed (utils_infer.py:446-453)
+    d = duration_frames(100, "abcd", "abcdabcd", speed=1.0)
+    assert d == 100 + int(100 / 4 * 8)
+    d2 = duration_frames(100, "abcd", "abcdabcd", speed=2.0)
+    assert d2 < d
+    assert duration_frames(100, "abcd", "x", fix_duration_secs=2.0) == int(2.0 * 24000 / 256)
+
+
+def test_max_chars_for_ref():
+    assert max_chars_for_ref("hello world.", 6.0) == int(12 / 6.0 * 19)
+
+
+def test_crossfade_lengths():
+    sr = 24000
+    a = np.ones(sr, np.float32)
+    b = np.ones(sr, np.float32) * 0.5
+    out = crossfade_concat([a, b], 0.15, sr)
+    n = int(0.15 * sr)
+    assert len(out) == 2 * sr - n
+    # crossfaded region is a linear blend
+    assert abs(out[sr - n // 2] - 0.75) < 0.01
+    # zero crossfade -> plain concat
+    assert len(crossfade_concat([a, b], 0.0, sr)) == 2 * sr
+
+
+def test_tokenizer_roundtrip():
+    tok = Tokenizer.from_texts(["hello", "ನಮಸ್ಕಾರ"])
+    ids = tok.encode(["hello", "hi"], pinyin=False)
+    assert ids.shape[0] == 2
+    assert (ids[1] == -1).sum() == ids.shape[1] - 2  # padded with -1
+    assert tok.vocab_char_map[" "] == 0
+    # unknown chars map to 0
+    ids2 = tok.encode(["zzz"], pinyin=False)
+    assert set(ids2[0][ids2[0] >= 0].tolist()) <= set(tok.vocab_char_map.values())
+
+
+def test_clip_ref_audio():
+    sr = 24000
+    rng = np.random.default_rng(0)
+    # 20 s of speech-like noise with a long silence at 8 s
+    loud = (rng.standard_normal(sr * 20) * 0.3).astype(np.float32)
+    loud[8 * sr : 10 * sr] = 0.0
+    out = clip_ref_audio(loud, sr)
+    assert len(out) <= 15 * sr + int(0.05 * sr)
+    assert len(out) > sr  # kept something
+
+    short = (rng.standard_normal(sr * 3) * 0.3).astype(np.float32)
+    out2 = clip_ref_audio(short, sr)
+    assert abs(len(out2) - (len(short) + int(0.05 * sr))) < sr // 2
+
+
+def test_normalize_rms_and_resample():
+    quiet = np.full(1000, 0.01, np.float32)
+    boosted, rms = normalize_rms(quiet, 0.1)
+    assert abs(float(np.sqrt(np.mean(boosted**2))) - 0.1) < 1e-3
+    up = resample(np.ones(16000, np.float32), 16000, 24000)
+    assert abs(len(up) - 24000) <= 2
+
+
+@pytest.mark.slow
+def test_engine_end_to_end_smoke():
+    mel_cfg = MelConfig(n_mels=20)
+    dit_cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+        text_num_embeds=200, text_dim=32, conv_layers=1, max_pos=512,
+    )
+    voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
+    engine = TTSEngine(
+        init_dit(jax.random.PRNGKey(0), dit_cfg),
+        dit_cfg,
+        init_vocos(jax.random.PRNGKey(1), voc_cfg),
+        Tokenizer.from_texts(["hello world this is a test of speech synthesis."]),
+        EngineConfig(
+            mel=mel_cfg, vocoder=voc_cfg,
+            sampler=SamplerConfig(steps=2, cfg_strength=2.0),
+            duration_buckets=(128, 256), batch_buckets=(1, 2, 4), text_pad=64,
+            compute_dtype="float32",
+        ),
+    )
+    rng = np.random.default_rng(2)
+    ref = (rng.standard_normal(24000) * 0.1).astype(np.float32)  # 1 s ref
+    wave, sr, mel = engine.synthesize("hello world. this is a test.", ref, 24000, "a ref text.", seed=3)
+    assert sr == 24000
+    assert wave.ndim == 1 and len(wave) > 1000
+    assert np.all(np.isfinite(wave))
+    assert mel.shape[1] == 20
+
+    # determinism with a fixed seed
+    wave2, _, _ = engine.synthesize("hello world. this is a test.", ref, 24000, "a ref text.", seed=3)
+    np.testing.assert_allclose(wave, wave2, atol=1e-6)
