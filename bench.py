@@ -31,7 +31,8 @@ def main():
     ref_frames = int(os.environ.get("BENCH_REF_FRAMES", 128))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
-    dit_cfg = DiTConfig.base()
+    attn_impl = os.environ.get("BENCH_ATTN", "flash")
+    dit_cfg = DiTConfig(**{**DiTConfig.base().__dict__, "attn_impl": attn_impl})
     voc_cfg = VocosConfig()
     tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
     dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
@@ -48,15 +49,19 @@ def main():
     duration = jnp.full((batch,), n_frames, jnp.int32)
     seeds = jnp.arange(batch, dtype=jnp.int32)
 
-    # warmup/compile
-    gen, wave = fn(dit_params, voc_params, cond, cond_lens, text, duration, seeds)
-    jax.block_until_ready(wave)
+    def run_once():
+        gen, wave = fn(dit_params, voc_params, cond, cond_lens, text, duration, seeds)
+        # force full execution + host sync: block_until_ready alone is not a
+        # reliable barrier through the remote-execution tunnel
+        return float(jnp.sum(wave[:, :64]))
+
+    run_once()  # warmup/compile
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        gen, wave = fn(dit_params, voc_params, cond, cond_lens, text, duration, seeds)
-    jax.block_until_ready(wave)
+        checksum = run_once()
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(checksum)
 
     frames_per_second_of_audio = 24000 / 256  # 93.75
     audio_seconds = batch * (n_frames - ref_frames) / frames_per_second_of_audio

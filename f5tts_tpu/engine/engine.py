@@ -38,6 +38,7 @@ from f5tts_tpu.ops.mel import MelConfig, log_mel_spectrogram
 from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm
 from f5tts_tpu.text.chunker import chunk_text, duration_frames, max_chars_for_ref
 from f5tts_tpu.text.tokenizer import Tokenizer
+from f5tts_tpu.utils.profiling import GLOBAL_TIMER
 
 
 @dataclass(frozen=True)
@@ -83,13 +84,32 @@ class TTSEngine:
         vocos_params,
         tokenizer: Tokenizer,
         cfg: EngineConfig = EngineConfig(),
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` ('data','model'); DiT params
+        are tensor-parallel sharded over 'model' (``parallel.sharding`` rules),
+        vocos replicated, and XLA inserts the TP collectives under jit."""
+        if mesh is not None:
+            from f5tts_tpu.parallel.sharding import shard_params, vocos_param_specs
+            from jax.sharding import NamedSharding
+
+            dit_params = shard_params(dit_params, mesh)
+            vocos_params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), vocos_params, vocos_param_specs(vocos_params)
+            )
+        self.mesh = mesh
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if self.compute_dtype == jnp.bfloat16:
+            # serving copy in bf16: halves HBM weight traffic per ODE step and
+            # removes per-use f32->bf16 casts from the compiled graph
+            cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+            dit_params = jax.tree.map(cast, dit_params)
+            vocos_params = jax.tree.map(cast, vocos_params)
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
         self.vocos_params = vocos_params
         self.tokenizer = tokenizer
         self.cfg = cfg
-        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self._host_rng = np.random.default_rng()
 
     # ------------------------------------------------------------------
@@ -115,10 +135,105 @@ class TTSEngine:
             gen = jnp.take_along_axis(mel_out, idx[..., None], axis=1)
             gen_len = duration - cond_lens
             gen = jnp.where(jnp.arange(n)[None, :, None] < gen_len[:, None, None], gen, 0.0)
-            wave = vocos_decode(vocos_params, gen.astype(jnp.float32), vcfg)
-            return gen, wave
+            wave = vocos_decode(vocos_params, gen, vcfg, compute_dtype=self.compute_dtype)
+            return gen.astype(jnp.float32), wave
 
         return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled_edit(self, n: int, steps: int, cfg_strength: float):
+        """Speech-edit path: batch-1, edit-mask conditioned, decodes the FULL
+        utterance (not just the generated tail)."""
+        sampler = SamplerConfig(
+            steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
+            method=self.cfg.sampler.method,
+        )
+        vcfg = self.cfg.vocoder
+
+        def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, seeds):
+            mel_out = sample_cfm(
+                dit_params, self.dit_cfg,
+                cond=cond, cond_lens=cond_lens, text=text, duration=duration,
+                sampler=sampler, seeds=seeds, edit_mask=edit_mask, compute_dtype=self.compute_dtype,
+            )
+            mel_masked = jnp.where(jnp.arange(n)[None, :, None] < duration[:, None, None], mel_out, 0.0)
+            wave = vocos_decode(vocos_params, mel_masked.astype(jnp.float32), vcfg)
+            return mel_out, wave
+
+        return jax.jit(fn)
+
+    def speech_edit(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        target_text: str,
+        parts_to_edit: list[tuple[float, float]],
+        fix_durations: list[float] | None = None,
+        *,
+        steps: int | None = None,
+        cfg_strength: float | None = None,
+        seed: int | None = None,
+    ) -> tuple[np.ndarray, int, np.ndarray]:
+        """Regenerate the given time spans to match ``target_text``, preserving
+        unmasked frames verbatim (``infer/speech_edit.py:129-176`` semantics via
+        the sampler's edit_mask; ``model/cfm.py:130-131,204``).
+
+        Unlike the reference script — which builds the span-resized conditioning
+        signal but then passes the *original* audio (``speech_edit.py:137-149``,
+        the resized ``audio_`` is dead code) — this uses the resized signal, so
+        ``fix_durations`` actually changes span lengths.
+        """
+        cfg = self.cfg
+        hop = cfg.mel.hop_length
+        steps = steps if steps is not None else cfg.sampler.steps
+        guidance = cfg_strength if cfg_strength is not None else cfg.sampler.cfg_strength
+
+        if audio.ndim == 2:
+            audio = audio.mean(axis=0)
+        audio, rms = normalize_rms(audio, cfg.target_rms)
+        if sr != TARGET_SR:
+            audio = resample(audio, sr, TARGET_SR)
+
+        fixes = list(fix_durations) if fix_durations else None
+        pieces, mask_frames = [], []
+        offset = 0.0
+        for start, end in parts_to_edit:
+            part_dur = (end - start) if fixes is None else fixes.pop(0)
+            keep = audio[round(offset * TARGET_SR) : round(start * TARGET_SR)]
+            pieces += [keep, np.zeros(round(part_dur * TARGET_SR), np.float32)]
+            mask_frames += [
+                np.ones(round((start - offset) * TARGET_SR / hop), bool),
+                np.zeros(round(part_dur * TARGET_SR / hop), bool),
+            ]
+            offset = end
+        pieces.append(audio[round(offset * TARGET_SR) :])
+        edited = np.concatenate(pieces)
+        n_frames = len(edited) // hop
+        edit_mask = np.concatenate(mask_frames)
+        edit_mask = np.pad(edit_mask, (0, max(n_frames + 1 - len(edit_mask), 0)), constant_values=True)[: n_frames]
+
+        nb = _bucket(min(n_frames, cfg.max_duration), cfg.duration_buckets)
+        n_frames = min(n_frames, nb)  # max_duration clamp (cfm.py:137)
+        edit_mask = edit_mask[:n_frames]
+        cond_mel = np.asarray(log_mel_spectrogram(jnp.asarray(edited[None]), cfg.mel))[0][:n_frames]
+
+        cond = np.zeros((1, nb, cfg.mel.n_mels), np.float32)
+        cond[0, :n_frames] = cond_mel
+        em = np.zeros((1, nb), bool)
+        em[0, :n_frames] = edit_mask
+        text_ids = self.tokenizer.encode([target_text], pad_to=self.cfg.text_pad)
+        seeds = np.asarray([seed if seed is not None else self._host_rng.integers(2**31 - 1)], np.int32)
+
+        fn = self._compiled_edit(nb, steps, guidance)
+        mel_out, wave = fn(
+            self.dit_params, self.vocos_params,
+            jnp.asarray(cond), jnp.asarray([n_frames], jnp.int32), jnp.asarray(text_ids),
+            jnp.asarray([n_frames], jnp.int32), jnp.asarray(em), jnp.asarray(seeds),
+        )
+        wave = np.asarray(wave, np.float32)[0, : (n_frames - 1) * hop]
+        if rms < cfg.target_rms:
+            wave = wave * rms / cfg.target_rms
+        return wave, TARGET_SR, np.asarray(mel_out, np.float32)[0, :n_frames]
 
     def warmup(self, buckets: list[tuple[int, int]] | None = None, steps: int | None = None,
                cfg_strength: float | None = None) -> None:
@@ -268,11 +383,13 @@ class TTSEngine:
                     seeds[len(sub) :] = seeds[0]
 
                 fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
-                gen_mel, wave = fn(
-                    self.dit_params, self.vocos_params,
-                    jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
-                    jnp.asarray(seeds),
-                )
+                with GLOBAL_TIMER.stage(f"sample_decode_n{nb}_b{bb}"):
+                    gen_mel, wave = fn(
+                        self.dit_params, self.vocos_params,
+                        jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
+                        jnp.asarray(seeds),
+                    )
+                    jax.block_until_ready(wave)
                 gen_mel = np.asarray(gen_mel, np.float32)
                 wave = np.asarray(wave, np.float32)
                 for row, i in enumerate(sub):

@@ -71,11 +71,17 @@ def init_conv1d(key, d_in: int, d_out: int, width: int, groups: int = 1):
 
 
 def conv1d(p, x, groups: int = 1, padding: str | int = "SAME", dilation: int = 1):
-    """``x: (b, n, c)`` channel-last 1-D convolution."""
-    if isinstance(padding, int):
-        pad = [(padding, padding)]
-    else:
-        pad = padding
+    """``x: (b, n, c)`` channel-last 1-D convolution.
+
+    Grouped/depthwise convs are expressed as a sum of shifted
+    per-tap contractions rather than ``feature_group_count`` — the GSPMD
+    partitioner double-counts grouped-conv weight gradients under a sharded
+    batch (observed: exactly mesh-model-size x grads), and the shifted-matmul
+    form is also the MXU/VPU-friendly layout.
+    """
+    if groups > 1:
+        return _conv1d_grouped(p, x, groups, padding, dilation)
+    pad = [(padding, padding)] if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -86,6 +92,29 @@ def conv1d(p, x, groups: int = 1, padding: str | int = "SAME", dilation: int = 1
         feature_group_count=groups,
     )
     return y + p["b"].astype(x.dtype)
+
+
+def _conv1d_grouped(p, x, groups: int, padding: int, dilation: int = 1):
+    b, n, c_in = x.shape
+    w = p["w"].astype(x.dtype)  # (k, c_in/groups, c_out)
+    k, cg_in, c_out = w.shape
+    assert isinstance(padding, int)
+    x_pad = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    y = None
+    if cg_in == 1 and c_out == c_in:  # depthwise: pure VPU multiply-add
+        for i in range(k):
+            tap = x_pad[:, i * dilation : i * dilation + n, :] * w[i, 0][None, None, :]
+            y = tap if y is None else y + tap
+        return y + p["b"].astype(x.dtype)
+    co_g = c_out // groups
+    # kernel (k, in/g, out): the group index lives in the OUTPUT axis
+    wg = w.reshape(k, cg_in, groups, co_g)
+    xg_shape = (b, n, groups, cg_in)
+    for i in range(k):
+        tap = x_pad[:, i * dilation : i * dilation + n, :].reshape(xg_shape)
+        contrib = jnp.einsum("bngi,igo->bngo", tap, wg[i])
+        y = contrib if y is None else y + contrib
+    return y.reshape(b, n, c_out) + p["b"].astype(x.dtype)
 
 
 def layer_norm(x, eps: float = 1e-6, weight=None, bias=None):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from f5tts_tpu.models import modules as m
-from f5tts_tpu.ops.stft import istft
+from f5tts_tpu.ops.stft import istft_reim
 
 
 @dataclass(frozen=True)
@@ -91,5 +91,4 @@ def vocos_decode(params, mel: jnp.ndarray, cfg: VocosConfig = VocosConfig(), com
     n_freq = cfg.n_fft // 2 + 1
     mag, phase = x[..., :n_freq], x[..., n_freq:]
     mag = jnp.exp(jnp.clip(mag, max=math.log(cfg.mag_clip)))
-    spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    return istft(spec, cfg.n_fft, cfg.hop_length, cfg.n_fft, center=True)
+    return istft_reim(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_length, cfg.n_fft, center=True)

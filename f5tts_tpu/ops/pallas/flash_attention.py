@@ -44,12 +44,12 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: 
         m, l, acc = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        bias = bias_ref[0, pl.ds(kb * block_k, block_k)]  # (BK,) additive 0/-inf
+        bias = bias_ref[0, :, pl.ds(kb * block_k, block_k)]  # (1, BK) additive 0/-inf
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        s = s + bias[None, :]
+        s = s + bias
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -88,9 +88,9 @@ def flash_attention(
 
     scale = d**-0.5
     if key_mask is None:
-        bias = jnp.zeros((b, n), jnp.float32)
+        bias = jnp.zeros((b, 1, n), jnp.float32)
     else:
-        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
     def flat(t):
         return t.reshape(b * h, n, d)
@@ -100,7 +100,7 @@ def flash_attention(
         functools.partial(_flash_kernel, block_k=block_k, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n), lambda bh, qi: (bh // h, 0), memory_space=pltpu.VMEM),  # bias per batch row
+            pl.BlockSpec((1, 1, n), lambda bh, qi: (bh // h, 0, 0), memory_space=pltpu.VMEM),  # bias per batch row
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
@@ -108,8 +108,7 @@ def flash_attention(
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * n * d, bytes_accessed=(3 + 1) * b * h * n * d * q.dtype.itemsize, transcendentals=b * h * n * n
-        ),
+        # NOTE: no cost_estimate — it hangs this environment's remote Mosaic
+        # compile (reproduced: identical kernel compiles in 0.5 s without it).
     )(bias, flat(q), flat(k), flat(v))
     return out.reshape(b, h, n, d)

@@ -12,6 +12,8 @@ frame count.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -40,15 +42,70 @@ def _window_envelope(T: int, n_fft: int, hop: int, win_length: int) -> np.ndarra
     return env
 
 
+@functools.lru_cache(maxsize=4)
+def _irdft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag inverse-rDFT bases ``(n_freq, n_fft)`` such that
+    ``irfft(S) = Re(S) @ C + Im(S) @ D``. Turns the per-frame iFFT into two
+    MXU matmuls — TPU's FFT lowering is far slower than its systolic array for
+    n_fft ~ 1k."""
+    n_freq = n_fft // 2 + 1
+    k = np.arange(n_freq)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    # irfft coefficient weights: DC and Nyquist count once, others twice
+    w = np.full((n_freq, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    c = (np.cos(ang) * w / n_fft).astype(np.float32)
+    d = (-np.sin(ang) * w / n_fft).astype(np.float32)
+    return c, d
+
+
+def irfft_matmul(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    c, d = _irdft_basis(n_fft)
+    return (
+        jnp.real(spec).astype(jnp.float32) @ jnp.asarray(c)
+        + jnp.imag(spec).astype(jnp.float32) @ jnp.asarray(d)
+    )
+
+
+def istft_reim(
+    re: jnp.ndarray,  # (b, T, n_freq)
+    im: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    center: bool = True,
+) -> jnp.ndarray:
+    """iSTFT from separate real/imag parts (avoids complex dtype entirely on
+    the hot path; iDFT runs as two MXU matmuls)."""
+    assert n_fft % hop_length == 0, "overlap-add fast path needs hop | n_fft"
+    b, T, _ = re.shape
+    c, d = _irdft_basis(n_fft)
+    frames = re.astype(jnp.float32) @ jnp.asarray(c) + im.astype(jnp.float32) @ jnp.asarray(d)
+    window = jnp.asarray(hann_window(win_length))
+    frames = frames * window
+    y = _fold_add(frames, hop_length)
+    env = jnp.asarray(_window_envelope(T, n_fft, hop_length, win_length).astype(np.float32))
+    y = y / jnp.maximum(env, 1e-11)
+    if center:
+        pad = n_fft // 2
+        y = y[:, pad:-pad]
+    return y
+
+
 def istft(
     spec: jnp.ndarray,  # complex (b, T, n_freq) frame-major, n_freq = n_fft//2+1
     n_fft: int = 1024,
     hop_length: int = 256,
     win_length: int = 1024,
     center: bool = True,
+    use_matmul_idft: bool = True,
 ) -> jnp.ndarray:
     """Returns ``(b, (T-1)*hop)`` waveform for ``center=True``."""
-    assert n_fft % hop_length == 0, "overlap-add fast path needs hop | n_fft"
+    if use_matmul_idft:
+        return istft_reim(jnp.real(spec), jnp.imag(spec), n_fft, hop_length, win_length, center)
     b, T, _ = spec.shape
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32)
     window = jnp.asarray(hann_window(win_length))

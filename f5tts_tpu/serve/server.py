@@ -253,6 +253,27 @@ def build_app(settings: Settings) -> web.Application:
             }
         )
 
+    async def metrics(request: web.Request) -> web.Response:
+        from f5tts_tpu.utils.profiling import GLOBAL_TIMER
+
+        return web.json_response(
+            {"stages": GLOBAL_TIMER.summary(), "batcher": (service.batcher.stats if service.batcher else {})}
+        )
+
+    async def profiler_start(request: web.Request) -> web.Response:
+        check_auth(request)
+        from f5tts_tpu.utils.profiling import start_device_trace
+
+        log_dir = request.query.get("dir", "/tmp/f5tpu_trace")
+        ok = start_device_trace(log_dir)
+        return web.json_response({"started": ok, "dir": log_dir})
+
+    async def profiler_stop(request: web.Request) -> web.Response:
+        check_auth(request)
+        from f5tts_tpu.utils.profiling import stop_device_trace
+
+        return web.json_response({"stopped": stop_device_trace()})
+
     async def index(request: web.Request) -> web.Response:
         routes = sorted({f"{r.method} {r.resource.canonical}" for r in app.router.routes() if r.method != "HEAD"})
         return web.json_response({"service": "f5tts-tpu", "endpoints": routes})
@@ -272,6 +293,9 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_post("/v1/transcribe/", transcribe)
     app.router.add_post("/v1/speech_to_speech", speech_to_speech)
     app.router.add_get("/v1/health", health)
+    app.router.add_get("/v1/metrics", metrics)
+    app.router.add_post("/v1/profiler/start", profiler_start)
+    app.router.add_post("/v1/profiler/stop", profiler_stop)
     app.router.add_get("/", index)
     app.router.add_post("/v1/load_all_models", load_all)
     app.router.add_post("/v1/unload_all_models", unload_all)

@@ -1,0 +1,114 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY §4.2): TP forward
+equivalence, DP+TP gradient equivalence, sharded engine, driver dry run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from f5tts_tpu.models.cfm import CFMConfig, cfm_loss
+from f5tts_tpu.models.dit import DiTConfig, dit_forward, init_dit
+from f5tts_tpu.parallel.mesh import build_mesh
+from f5tts_tpu.parallel.sharding import dit_param_specs, shard_params
+
+TINY = DiTConfig(
+    dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=20,
+    text_num_embeds=30, text_dim=32, conv_layers=1, max_pos=256,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _batch(b=4, n=32, nt=12):
+    rng = np.random.default_rng(0)
+    return (
+        jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)), jnp.float32),
+        jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)), jnp.float32),
+        jnp.asarray(rng.integers(0, 30, (b, nt)), jnp.int32),
+        jnp.asarray(rng.uniform(size=(b,)), jnp.float32),
+    )
+
+
+def test_tp_forward_matches_single_device():
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    x, cond, text, time = _batch()
+    f = jnp.zeros((x.shape[0],), bool)
+
+    ref = np.asarray(dit_forward(params, TINY, x, cond, text, time, f, f))
+
+    mesh = build_mesh(model_parallel=4, devices=jax.devices()[:8])
+    sharded = shard_params(params, mesh)
+    with mesh:
+        out = jax.jit(lambda p, *a: dit_forward(p, TINY, *a))(sharded, x, cond, text, time, f, f)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_dp_tp_grads_match_single_device():
+    cfg = CFMConfig(model=TINY)
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((4, 32, TINY.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 30, (4, 12)), jnp.int32)
+    lens = jnp.full((4,), 32, jnp.int32)
+    key = jax.random.PRNGKey(2)
+
+    def loss_fn(p, mel, text, lens):
+        return cfm_loss(p, cfg, key, mel, text, lens)[0]
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, mel, text, lens)
+
+    mesh = build_mesh(model_parallel=2, devices=jax.devices()[:8])
+    sharded = shard_params(params, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            sharded, jax.device_put(mel, data_sh), jax.device_put(text, data_sh), jax.device_put(lens, data_sh)
+        )
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    # conv backward kernels accumulate in a different order when the batch is
+    # partitioned; compare in relative L2 rather than elementwise
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(float(np.linalg.norm(a)), 1e-6)
+        assert float(np.linalg.norm(a - b)) / denom < 2e-2
+
+
+def test_param_specs_cover_tree():
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    specs = dit_param_specs(params)
+    assert jax.tree.structure(specs, is_leaf=lambda x: isinstance(x, P)) == jax.tree.structure(params)
+    flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert any(s != P() for s in flat), "expected some TP-sharded params"
+
+
+def test_sharded_engine_synthesizes():
+    from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
+    from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+    from f5tts_tpu.ops.mel import MelConfig
+    from f5tts_tpu.sampling.euler import SamplerConfig
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    mesh = build_mesh(model_parallel=2, devices=jax.devices()[:4])
+    voc_cfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=2)
+    engine = TTSEngine(
+        init_dit(jax.random.PRNGKey(0), TINY), TINY,
+        init_vocos(jax.random.PRNGKey(1), voc_cfg),
+        Tokenizer.from_texts(["hello tpu mesh."]),
+        EngineConfig(
+            mel=MelConfig(n_mels=20), vocoder=voc_cfg, sampler=SamplerConfig(steps=2),
+            duration_buckets=(128,), text_pad=32, compute_dtype="float32",
+        ),
+        mesh=mesh,
+    )
+    ref = (np.random.default_rng(3).standard_normal(12000) * 0.1).astype(np.float32)
+    with mesh:
+        wave, sr, _ = engine.synthesize("hello tpu mesh.", ref, 24000, "hello.", seed=1)
+    assert len(wave) > 0 and np.all(np.isfinite(wave))
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
