@@ -18,6 +18,10 @@ import numpy as np
 
 def main():
     import jax
+
+    from f5tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
@@ -38,7 +42,11 @@ def main():
     dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
     voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
 
-    cfg = EngineConfig(duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512, compute_dtype="bfloat16")
+    quant = "int8" if os.environ.get("BENCH_QUANT") == "1" else "none"
+    cfg = EngineConfig(
+        duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
+        compute_dtype="bfloat16", quantization=quant,
+    )
     engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, cfg)
 
     fn = engine._compiled(n_frames, batch, cfg.text_pad, nfe, 2.0)

@@ -43,12 +43,17 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def load_config(args):
+    """TOML config with flag override; ``[voices.NAME]`` tables define extra
+    reference voices for ``[name]`` tags in the gen text (``infer_cli.py``
+    multi-voice contract)."""
+    args.voices = {}
     if not args.config:
         return args
     import tomllib
 
     with open(args.config, "rb") as f:
         cfg = tomllib.load(f)
+    args.voices = cfg.pop("voices", {})
     for k, v in cfg.items():
         k = k.replace("-", "_")
         if hasattr(args, k) and parser_default(k) == getattr(args, k):
@@ -73,6 +78,7 @@ def build_engine(args):
     from f5tts_tpu.sampling.euler import SamplerConfig
     from f5tts_tpu.text.tokenizer import Tokenizer
 
+    engine_fns = {}
     if args.demo_tiny:
         mel_cfg = MelConfig(n_mels=20)
         dit_cfg = DiTConfig(
@@ -88,16 +94,25 @@ def build_engine(args):
             sys.exit("need --ckpt-file, --vocab-file and --vocoder-ckpt (or --demo-tiny)")
         mel_cfg = MelConfig()
         tok = Tokenizer.from_file(args.vocab_file)
-        if args.model == "F5TTS_Small":
-            base = DiTConfig.small()
-        else:
-            base = DiTConfig.base()
-        dit_cfg = DiTConfig(**{**base.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn})
         voc_cfg = VocosConfig()
-        from f5tts_tpu.models.convert import load_f5_checkpoint, load_vocos_checkpoint
+        from f5tts_tpu.models.convert import load_torch_state_dict, load_vocos_checkpoint
 
-        dit_params = load_f5_checkpoint(args.ckpt_file, dit_cfg)
         voc_params = load_vocos_checkpoint(args.vocoder_ckpt, voc_cfg)
+        if args.model == "E2TTS_Base":
+            from f5tts_tpu.models.convert import convert_e2_unett
+            from f5tts_tpu.models.unett import UNetTConfig, unett_embed, unett_forward
+
+            dit_cfg = UNetTConfig(
+                **{**UNetTConfig.base().__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn}
+            )
+            dit_params = convert_e2_unett(load_torch_state_dict(args.ckpt_file), dit_cfg)
+            engine_fns = {"forward_fn": unett_forward, "embed_fn": unett_embed}
+        else:
+            from f5tts_tpu.models.convert import convert_f5_dit
+
+            base = DiTConfig.small() if args.model == "F5TTS_Small" else DiTConfig.base()
+            dit_cfg = DiTConfig(**{**base.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn})
+            dit_params = convert_f5_dit(load_torch_state_dict(args.ckpt_file), dit_cfg)
 
     engine_cfg = EngineConfig(
         mel=mel_cfg, vocoder=voc_cfg,
@@ -106,7 +121,7 @@ def build_engine(args):
         cross_fade_duration=args.cross_fade,
         speed=args.speed,
     )
-    return TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg)
+    return TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg, **engine_fns)
 
 
 _VOICE_TAG = re.compile(r"(?=\[\w+\])")
@@ -127,6 +142,9 @@ def split_voice_segments(gen_text: str) -> list[tuple[str, str]]:
 
 
 def main(argv=None):
+    from f5tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = load_config(_PARSER.parse_args(argv))
 
     gen_text = args.gen_text
@@ -151,12 +169,21 @@ def main(argv=None):
 
     engine = build_engine(args)
 
+    # multi-voice registry: [voices.NAME] tables from the toml config
+    voices = {"main": (ref_audio, ref_sr, ref_text)}
+    for name, spec in getattr(args, "voices", {}).items():
+        v_audio, v_sr = read_wav(spec["ref_audio"])
+        v_audio = clip_ref_audio(v_audio, v_sr)
+        voices[name] = (v_audio, v_sr, ensure_sentence_punctuation(spec.get("ref_text", "")))
+
     waves = []
     for voice, seg_text in split_voice_segments(gen_text):
-        if voice != "main":
-            print(f"note: voice [{voice}] mapped to main reference (single-voice run)", file=sys.stderr)
+        if voice not in voices:
+            print(f"note: unknown voice [{voice}], using main", file=sys.stderr)
+            voice = "main"
+        v_audio, v_sr, v_text = voices[voice]
         wave, sr, _ = engine.synthesize(
-            seg_text, ref_audio, ref_sr, ref_text,
+            seg_text, v_audio, v_sr, v_text,
             speed=args.speed, fix_duration_secs=args.fix_duration,
             nfe_step=args.nfe, cfg_strength=args.cfg_strength, seed=args.seed,
             cross_fade_duration=args.cross_fade,

@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     args = p.parse_args(argv)
 
+    from f5tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from f5tts_tpu.audio.io import read_wav, write_wav
     from f5tts_tpu.audio.preprocess import clip_ref_audio, ensure_sentence_punctuation
     from f5tts_tpu.cli.infer import build_engine

@@ -45,6 +45,9 @@ def main(argv=None):
     if fixes is not None and len(fixes) != len(parts):
         sys.exit("--fix-durations must have one entry per edit span")
 
+    from f5tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from f5tts_tpu.audio.io import read_wav, write_wav
     from f5tts_tpu.cli.infer import build_engine
 

@@ -28,6 +28,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    from f5tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from f5tts_tpu.models.cfm import CFMConfig

@@ -32,7 +32,7 @@ import numpy as np
 
 from f5tts_tpu.audio.preprocess import TARGET_RMS, TARGET_SR, normalize_rms, resample
 from f5tts_tpu.audio.stitch import crossfade_concat
-from f5tts_tpu.models.dit import DiTConfig
+from f5tts_tpu.models.dit import DiTConfig, dit_embed, dit_forward
 from f5tts_tpu.models.vocos import VocosConfig, vocos_decode
 from f5tts_tpu.ops.mel import MelConfig, log_mel_spectrogram
 from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm
@@ -51,6 +51,7 @@ class EngineConfig:
     text_pad: int = 512
     max_duration: int = 4096  # model/cfm.py:93
     compute_dtype: str = "bfloat16"
+    quantization: str = "none"  # "none" | "int8" (W8A8 dynamic, serving-only)
     cross_fade_duration: float = 0.15
     target_rms: float = TARGET_RMS
     speed: float = 1.0
@@ -85,6 +86,8 @@ class TTSEngine:
         tokenizer: Tokenizer,
         cfg: EngineConfig = EngineConfig(),
         mesh=None,
+        forward_fn=dit_forward,
+        embed_fn=dit_embed,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` ('data','model'); DiT params
         are tensor-parallel sharded over 'model' (``parallel.sharding`` rules),
@@ -99,17 +102,39 @@ class TTSEngine:
             )
         self.mesh = mesh
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        # inference-only: densify the conv-pos grouped kernels (MXU-friendly)
+        if mesh is None and isinstance(dit_params, dict) and "input_embed" in dit_params:
+            from f5tts_tpu.models.modules import densify_grouped_conv
+
+            cp = dit_params["input_embed"].get("conv_pos")
+            if cp is not None and cp["conv1"]["w"].shape[1] * 16 == cp["conv1"]["w"].shape[2]:
+                dit_params = {
+                    **dit_params,
+                    "input_embed": {
+                        **dit_params["input_embed"],
+                        "conv_pos": {
+                            "conv1": densify_grouped_conv(cp["conv1"], 16),
+                            "conv2": densify_grouped_conv(cp["conv2"], 16),
+                        },
+                    },
+                }
         if self.compute_dtype == jnp.bfloat16:
             # serving copy in bf16: halves HBM weight traffic per ODE step and
             # removes per-use f32->bf16 casts from the compiled graph
             cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
             dit_params = jax.tree.map(cast, dit_params)
             vocos_params = jax.tree.map(cast, vocos_params)
+        if cfg.quantization == "int8" and isinstance(dit_params, dict) and "blocks" in dit_params:
+            from f5tts_tpu.models.dit import quantize_dit_params
+
+            dit_params = quantize_dit_params(dit_params)
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
         self.vocos_params = vocos_params
         self.tokenizer = tokenizer
         self.cfg = cfg
+        self.forward_fn = forward_fn
+        self.embed_fn = embed_fn
         self._host_rng = np.random.default_rng()
 
     # ------------------------------------------------------------------
@@ -129,6 +154,7 @@ class TTSEngine:
                 dit_params, self.dit_cfg,
                 cond=cond, cond_lens=cond_lens, text=text, duration=duration,
                 sampler=sampler, seeds=seeds, compute_dtype=self.compute_dtype,
+                forward_fn=self.forward_fn, embed_fn=self.embed_fn,
             )
             # roll generated frames to origin; zero beyond generated length
             idx = (jnp.arange(n)[None, :] + cond_lens[:, None]) % n
@@ -155,6 +181,7 @@ class TTSEngine:
                 dit_params, self.dit_cfg,
                 cond=cond, cond_lens=cond_lens, text=text, duration=duration,
                 sampler=sampler, seeds=seeds, edit_mask=edit_mask, compute_dtype=self.compute_dtype,
+                forward_fn=self.forward_fn, embed_fn=self.embed_fn,
             )
             mel_masked = jnp.where(jnp.arange(n)[None, :, None] < duration[:, None, None], mel_out, 0.0)
             wave = vocos_decode(vocos_params, mel_masked.astype(jnp.float32), vcfg)

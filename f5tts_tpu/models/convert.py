@@ -126,6 +126,63 @@ def convert_f5_dit(sd: dict[str, np.ndarray], cfg: DiTConfig) -> dict:
     return _to_jnp(params)
 
 
+def convert_e2_unett(sd: dict[str, np.ndarray], cfg) -> dict:
+    """E2-TTS (UNetT) state dict -> ``init_unett`` pytree.
+
+    Reference layout (``model/backbones/unett.py:130-162``): blocks are
+    ``transformer.layers.{i}.{0..4}`` = [skip_proj | absent, RMSNorm(g), attn,
+    RMSNorm(g), ff]; skip_proj exists only in the later half when
+    ``skip_connect_type == 'concat'``.
+    """
+    sd = strip_ema(dict(sd))
+    t = "transformer"
+    half = cfg.depth // 2
+
+    def half_block(i: int, with_skip: bool):
+        p = {
+            "attn_norm": {"g": sd[f"{t}.layers.{i}.1.g"]},
+            "attn": {
+                "to_q": _lin(sd, f"{t}.layers.{i}.2.to_q"),
+                "to_k": _lin(sd, f"{t}.layers.{i}.2.to_k"),
+                "to_v": _lin(sd, f"{t}.layers.{i}.2.to_v"),
+                "to_out": _lin(sd, f"{t}.layers.{i}.2.to_out.0"),
+            },
+            "ff_norm": {"g": sd[f"{t}.layers.{i}.3.g"]},
+            "ff": {"in": _lin(sd, f"{t}.layers.{i}.4.ff.0.0"), "out": _lin(sd, f"{t}.layers.{i}.4.ff.2")},
+        }
+        if with_skip:
+            p["skip_proj"] = _lin(sd, f"{t}.layers.{i}.0", bias=False)
+        return p
+
+    needs_skip = cfg.skip_connect_type == "concat"
+    params = {
+        "time_embed": {
+            "mlp1": _lin(sd, f"{t}.time_embed.time_mlp.0"),
+            "mlp2": _lin(sd, f"{t}.time_embed.time_mlp.2"),
+        },
+        "text_embed": {
+            "embed": {"w": sd[f"{t}.text_embed.text_embed.weight"]},
+            "blocks": _stack(
+                [_convnext_block_from(sd, f"{t}.text_embed.text_blocks.{i}") for i in range(cfg.conv_layers)]
+            )
+            if cfg.conv_layers > 0
+            else None,
+        },
+        "input_embed": {
+            "proj": _lin(sd, f"{t}.input_embed.proj"),
+            "conv_pos": {
+                "conv1": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(sd, f"{t}.input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "first_half": _stack([half_block(i, False) for i in range(half)]),
+        "second_half": _stack([half_block(half + i, needs_skip) for i in range(half)]),
+        "norm_out": {"g": sd[f"{t}.norm_out.g"]},
+        "proj_out": _lin(sd, f"{t}.proj_out"),
+    }
+    return _to_jnp(params)
+
+
 def convert_vocos(sd: dict[str, np.ndarray], cfg: VocosConfig = VocosConfig()) -> dict:
     """``charactr/vocos-mel-24khz`` state dict -> ``init_vocos`` pytree."""
     params = {

@@ -186,3 +186,16 @@ def dit_forward(
 
 def param_count(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def quantize_dit_params(params):
+    """Int8-quantize the hot matmuls (QKV/out + FF in/out across all blocks —
+    ~2/3 of sampler FLOPs); embeddings, convs, AdaLN and output proj stay fp.
+    Serving-only (quantized leaves are not differentiable)."""
+    blocks = params["blocks"]
+    q_blocks = {
+        **blocks,
+        "attn": {name: jax.vmap(m.quantize_linear_params)(blocks["attn"][name]) for name in ("to_q", "to_k", "to_v", "to_out")},
+        "ff": {name: jax.vmap(m.quantize_linear_params)(blocks["ff"][name]) for name in ("in", "out")},
+    }
+    return {**params, "blocks": q_blocks}

@@ -46,10 +46,39 @@ def init_linear(key, d_in: int, d_out: int, bias: bool = True):
 
 
 def linear(p, x):
+    if "w_q" in p:
+        return _linear_int8(p, x)
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+def _linear_int8(p, x):
+    """W8A8 dynamic-quantized matmul: per-out-channel weight scales,
+    per-token activation scales, int32 accumulation on the MXU (v5e int8 is
+    2x bf16 throughput). Params: w_q int8 (in,out), s_w (out,), optional b."""
+    s_x = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-8)
+    xq = jnp.round(x.astype(jnp.float32) / s_x).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = (y.astype(jnp.float32) * s_x * p["s_w"].astype(jnp.float32)).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def quantize_linear_params(p):
+    """fp Linear params -> int8 symmetric per-out-channel quantized form."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = {"w_q": wq, "s_w": s}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
 
 
 def init_embedding(key, n_vocab: int, dim: int):
@@ -96,11 +125,20 @@ def conv1d(p, x, groups: int = 1, padding: str | int = "SAME", dilation: int = 1
 
 def _conv1d_grouped(p, x, groups: int, padding: int, dilation: int = 1):
     b, n, c_in = x.shape
-    w = p["w"].astype(x.dtype)  # (k, c_in/groups, c_out)
+    w = p["w"].astype(x.dtype)  # (k, c_in/groups, c_out) or pre-densified (k, c_in, c_out)
     k, cg_in, c_out = w.shape
     assert isinstance(padding, int)
     x_pad = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
     y = None
+    if cg_in == c_in and groups > 1:
+        # pre-densified block-diagonal kernel (densify_grouped_conv): k big
+        # dense matmuls — the MXU-friendly serving path (~2.5x the grouped
+        # einsum despite 16x the FLOPs; tiny per-group contractions starve
+        # the systolic array)
+        for i in range(k):
+            tap = x_pad[:, i * dilation : i * dilation + n, :] @ w[i]
+            y = tap if y is None else y + tap
+        return y + p["b"].astype(x.dtype)
     if cg_in == 1 and c_out == c_in:  # depthwise: pure VPU multiply-add
         for i in range(k):
             tap = x_pad[:, i * dilation : i * dilation + n, :] * w[i, 0][None, None, :]
@@ -115,6 +153,24 @@ def _conv1d_grouped(p, x, groups: int, padding: int, dilation: int = 1):
         contrib = jnp.einsum("bngi,igo->bngo", tap, wg[i])
         y = contrib if y is None else y + contrib
     return y.reshape(b, n, c_out) + p["b"].astype(x.dtype)
+
+
+def densify_grouped_conv(p, groups: int):
+    """Host-side, once: embed a grouped kernel ``(k, c_in/g, c_out)`` into its
+    block-diagonal dense form ``(k, c_in, c_out)`` (inference-only speedup)."""
+    import numpy as np
+
+    w = np.asarray(p["w"])
+    k, cg_in, c_out = w.shape
+    if cg_in == 1 or groups == 1:
+        return p  # depthwise/dense stay as-is
+    c_in = cg_in * groups
+    co_g = c_out // groups
+    wg = w.reshape(k, cg_in, groups, co_g)
+    dense = np.zeros((k, c_in, c_out), w.dtype)
+    for g in range(groups):
+        dense[:, g * cg_in : (g + 1) * cg_in, g * co_g : (g + 1) * co_g] = wg[:, :, g, :]
+    return {**p, "w": jnp.asarray(dense)}
 
 
 def layer_norm(x, eps: float = 1e-6, weight=None, bias=None):

@@ -1,0 +1,66 @@
+"""Indic chat / translation pipelines (capability parity with the reference's
+unmounted routers ``routes/chat.py`` and ``routes/translate.py``).
+
+The reference wires: translate(indic -> en) -> LLM chat -> translate(en ->
+indic), plus direct IndicTrans2 translation; both depend on external models
+the repo never ships (the routers are defined but not mounted,
+``main.py:92-93``). Here the orchestration is implemented natively and the
+model backends are pluggable + gated: local HF model dirs via env
+(``F5TPU_LLM_MODEL``, ``F5TPU_TRANSLATE_MODEL``) — a zero-egress build refuses
+hub ids with a clear error instead of hanging on a download."""
+
+from __future__ import annotations
+
+import os
+
+_llm = None
+_translator = None
+
+LLM_MODEL = os.environ.get("F5TPU_LLM_MODEL", "")
+TRANSLATE_MODEL = os.environ.get("F5TPU_TRANSLATE_MODEL", "")
+
+
+def _require_local(path: str, env: str):
+    if not path or not os.path.isdir(path):
+        raise ImportError(f"needs local weights: set {env} to a model directory (got {path!r})")
+
+
+def _llm_pipeline():
+    global _llm
+    if _llm is None:
+        _require_local(LLM_MODEL, "F5TPU_LLM_MODEL")
+        from transformers import pipeline
+
+        _llm = pipeline("text-generation", model=LLM_MODEL, device="cpu")
+    return _llm
+
+
+def _translate_pipeline():
+    global _translator
+    if _translator is None:
+        _require_local(TRANSLATE_MODEL, "F5TPU_TRANSLATE_MODEL")
+        from transformers import pipeline
+
+        _translator = pipeline("translation", model=TRANSLATE_MODEL, device="cpu")
+    return _translator
+
+
+def translate(sentences: list[str], src_lang: str, tgt_lang: str) -> list[str]:
+    """IndicTrans2-style batch translation (``routes/translate.py:10-75``)."""
+    pipe = _translate_pipeline()
+    out = pipe(sentences, src_lang=src_lang, tgt_lang=tgt_lang)
+    return [o["translation_text"] for o in out]
+
+
+def indic_chat(prompt: str, language: str, max_new_tokens: int = 256) -> str:
+    """Translate-in -> chat -> translate-out sandwich (``routes/chat.py:17-63``).
+
+    English prompts skip the translation legs, as in the reference.
+    """
+    is_english = language.startswith("eng")
+    en_prompt = prompt if is_english else translate([prompt], language, "eng_Latn")[0]
+    llm = _llm_pipeline()
+    reply = llm(en_prompt, max_new_tokens=max_new_tokens, return_full_text=False)[0]["generated_text"].strip()
+    if is_english:
+        return reply
+    return translate([reply], "eng_Latn", language)[0]

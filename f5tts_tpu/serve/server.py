@@ -179,6 +179,7 @@ async def cors_middleware(request: web.Request, handler):
 def build_app(settings: Settings) -> web.Application:
     service = ModelService(settings)
     speech_limiter = RateLimiter(settings.speech_rate_limit)
+    chat_limiter = RateLimiter(settings.chat_rate_limit)
 
     def check_auth(request):
         if settings.api_key and request.headers.get("Authorization") != f"Bearer {settings.api_key}":
@@ -278,6 +279,47 @@ def build_app(settings: Settings) -> web.Application:
         routes = sorted({f"{r.method} {r.resource.canonical}" for r in app.router.routes() if r.method != "HEAD"})
         return web.json_response({"service": "f5tts-tpu", "endpoints": routes})
 
+    async def webapp(request: web.Request) -> web.Response:
+        from f5tts_tpu.serve.webui import PAGE
+
+        return web.Response(text=PAGE, content_type="text/html")
+
+    async def voices(request: web.Request) -> web.Response:
+        return web.json_response({"voices": sorted(service.voices)})
+
+    async def indic_chat(request: web.Request) -> web.Response:
+        check_auth(request)
+        client = request.remote or "?"
+        if not chat_limiter.allow(client):
+            raise web.HTTPTooManyRequests(text=json.dumps({"error": "rate limit exceeded"}))
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if not prompt or len(prompt) > 100_000:
+            raise web.HTTPBadRequest(text=json.dumps({"error": "prompt must be 1..100k chars"}))
+        language = body.get("src_lang", "eng_Latn")
+        try:
+            from f5tts_tpu.serve.chat import indic_chat as chat_fn
+
+            reply = await asyncio.get_running_loop().run_in_executor(None, chat_fn, prompt, language)
+        except ImportError as e:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": str(e)}))
+        return web.json_response({"response": reply})
+
+    async def translate_route(request: web.Request) -> web.Response:
+        check_auth(request)
+        body = await request.json()
+        sentences = body.get("sentences", [])
+        src, tgt = body.get("src_lang", ""), body.get("tgt_lang", "")
+        if not sentences or not src or not tgt:
+            raise web.HTTPBadRequest(text=json.dumps({"error": "need sentences, src_lang, tgt_lang"}))
+        try:
+            from f5tts_tpu.serve.chat import translate as translate_fn
+
+            out = await asyncio.get_running_loop().run_in_executor(None, translate_fn, sentences, src, tgt)
+        except ImportError as e:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": str(e)}))
+        return web.json_response({"translations": out})
+
     async def load_all(request: web.Request) -> web.Response:
         check_auth(request)
         await asyncio.get_running_loop().run_in_executor(None, service.load)
@@ -299,6 +341,10 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_get("/", index)
     app.router.add_post("/v1/load_all_models", load_all)
     app.router.add_post("/v1/unload_all_models", unload_all)
+    app.router.add_get("/app", webapp)
+    app.router.add_get("/v1/voices", voices)
+    app.router.add_post("/v1/indic_chat", indic_chat)
+    app.router.add_post("/v1/translate", translate_route)
     app["service"] = service
 
     async def on_startup(app):
@@ -314,6 +360,9 @@ def build_app(settings: Settings) -> web.Application:
 
 
 def main(argv=None):
+    from f5tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
     args = parse_arguments(argv)
     settings = Settings.from_env(

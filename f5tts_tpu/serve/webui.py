@@ -1,0 +1,54 @@
+"""Browser demo UI (stands in for the reference's Gradio app,
+``infer/infer_gradio.py`` — gradio is not in this image, and a static page
+against the JSON API serves the same product purpose: type text, pick a voice,
+listen)."""
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>f5tts-tpu</title>
+<style>
+ body { font-family: system-ui, sans-serif; max-width: 720px; margin: 2rem auto; padding: 0 1rem; }
+ textarea { width: 100%; height: 6rem; font-size: 1rem; }
+ select, input, button { font-size: 1rem; margin: 0.3rem 0.3rem 0.3rem 0; }
+ #status { color: #666; margin-left: 0.6rem; }
+ .row { margin: 0.6rem 0; }
+</style></head>
+<body>
+<h2>f5tts-tpu — Indic TTS</h2>
+<div class="row"><textarea id="text" placeholder="Type text to speak...">Hello! This speech was synthesized on a TPU.</textarea></div>
+<div class="row">
+ voice <select id="voice"></select>
+ steps <input id="nfe" type="number" value="32" min="1" max="128" style="width:4.5rem">
+ cfg <input id="cfg" type="number" value="2.0" step="0.5" style="width:4.5rem">
+ speed <input id="speed" type="number" value="1.0" step="0.1" style="width:4.5rem">
+</div>
+<div class="row"><button id="go">Synthesize</button><span id="status"></span></div>
+<div class="row"><audio id="player" controls style="width:100%"></audio></div>
+<script>
+async function loadVoices() {
+  try {
+    const h = await (await fetch('/v1/voices')).json();
+    const sel = document.getElementById('voice');
+    for (const v of h.voices) { const o = document.createElement('option'); o.value = v; o.textContent = v; sel.appendChild(o); }
+  } catch (e) {}
+}
+document.getElementById('go').onclick = async () => {
+  const status = document.getElementById('status');
+  status.textContent = 'synthesizing...';
+  const body = {
+    text: document.getElementById('text').value,
+    voice: document.getElementById('voice').value || null,
+    nfe_step: parseInt(document.getElementById('nfe').value),
+    cfg_strength: parseFloat(document.getElementById('cfg').value),
+    speed: parseFloat(document.getElementById('speed').value),
+  };
+  const t0 = performance.now();
+  const r = await fetch('/v1/audio/speech', {method:'POST', headers:{'content-type':'application/json'}, body: JSON.stringify(body)});
+  if (!r.ok) { status.textContent = 'error: ' + (await r.text()); return; }
+  const blob = await r.blob();
+  document.getElementById('player').src = URL.createObjectURL(blob);
+  document.getElementById('player').play();
+  status.textContent = ((performance.now()-t0)/1000).toFixed(2) + 's';
+};
+loadVoices();
+</script>
+</body></html>"""

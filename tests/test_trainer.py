@@ -1,0 +1,107 @@
+"""Trainer: loss descends on a toy task, EMA schedule, checkpoint resume
+round-trip, LR schedule shape (SURVEY §4.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from f5tts_tpu.models.cfm import CFMConfig
+from f5tts_tpu.models.dit import DiTConfig
+from f5tts_tpu.train.data import FramePackedDataset, Item, synthetic_batches
+from f5tts_tpu.train.ema import EMAConfig, ema_decay
+from f5tts_tpu.train.trainer import TrainConfig, Trainer, init_train_state, lr_schedule, make_train_step
+
+TINY = CFMConfig(
+    model=DiTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+        text_num_embeds=20, text_dim=16, conv_layers=1, max_pos=128,
+    )
+)
+
+
+def test_train_step_runs_and_advances():
+    cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100)
+    state = init_train_state(jax.random.PRNGKey(0), TINY, cfg)
+    step = jax.jit(make_train_step(TINY, cfg, compute_dtype=jnp.float32))
+    batch = next(synthetic_batches(TINY.model, frames=32, batch=2, n_batches=1))
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    db["key"] = jax.random.PRNGKey(1)
+    state2, m1 = step(state, db)
+    assert int(state2["step"]) == 1
+    assert np.isfinite(float(m1["loss"]))
+    state3, m2 = step(state2, db)
+    assert int(state3["step"]) == 2
+
+
+def test_lr_schedule_warmup_then_decay():
+    cfg = TrainConfig(learning_rate=1.0, warmup_updates=100, total_updates=1100)
+    sched = lr_schedule(cfg)
+    assert float(sched(0)) < 0.02
+    assert abs(float(sched(100)) - 1.0) < 1e-6
+    assert float(sched(600)) < 1.0
+    assert float(sched(1100)) < 1e-6
+
+
+def test_ema_decay_schedule():
+    cfg = EMAConfig()
+    assert float(ema_decay(jnp.asarray(1), cfg)) == 0.0  # before update_after_step
+    assert 0.0 < float(ema_decay(jnp.asarray(500), cfg)) <= cfg.beta
+    assert float(ema_decay(jnp.asarray(10_000_000), cfg)) == pytest.approx(cfg.beta)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    from f5tts_tpu.train.checkpoint import latest_step, restore_state, save_state
+
+    cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=50)
+    state = init_train_state(jax.random.PRNGKey(0), TINY, cfg)
+    step = jax.jit(make_train_step(TINY, cfg, compute_dtype=jnp.float32))
+    batch = next(synthetic_batches(TINY.model, frames=32, batch=2, n_batches=1))
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    db["key"] = jax.random.PRNGKey(1)
+    state, _ = step(state, db)
+    state, _ = step(state, db)
+
+    d = str(tmp_path / "ckpt")
+    save_state(d, int(state["step"]), state)
+    assert latest_step(d) == 2
+
+    template = init_train_state(jax.random.PRNGKey(9), TINY, cfg)  # different init
+    restored = restore_state(d, 2, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # training continues identically from the restored state
+    s1, m1 = step(state, db)
+    s2, m2 = step(restored, db)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]))
+
+
+def test_frame_packed_batching(tmp_path):
+    import json
+
+    # synthesize a manifest of mel .npy files with varying lengths
+    rng = np.random.default_rng(0)
+    lengths = [40, 100, 60, 220, 30, 150, 90, 75]
+    lines = []
+    for i, L in enumerate(lengths):
+        mel = rng.standard_normal((L, 8)).astype(np.float32)
+        np.save(tmp_path / f"m{i}.npy", mel)
+        lines.append({"mel": f"m{i}.npy", "text": f"utterance number {i}", "frames": L})
+    with open(tmp_path / "manifest.jsonl", "w") as f:
+        for rec in lines:
+            f.write(json.dumps(rec) + "\n")
+
+    ds = FramePackedDataset.from_dir(str(tmp_path))
+    batches = ds.pack_batches(batch_frames=200, max_samples=3, seed=0)
+    # every batch obeys the budget (except singletons over budget)
+    for b in batches:
+        frames = sum(ds.items[i].n_frames for i in b)
+        assert len(b) <= 3
+        assert frames <= 200 or len(b) == 1
+    assert sorted(i for b in batches for i in b) == list(range(len(lengths)))
+
+    collated = next(ds.batches(batch_frames=200, max_samples=3, seed=0, frame_bucket=64))
+    assert collated["mel"].shape[1] % 64 == 0
+    assert collated["text"].shape[0] == collated["mel"].shape[0] == len(collated["lens"])
