@@ -43,7 +43,9 @@ def wav_bytes(audio: np.ndarray, sample_rate: int = 24000, subtype: str = "int16
 def _encode(audio: np.ndarray, subtype: str):
     audio = np.asarray(audio, dtype=np.float32)
     if subtype == "int16":
-        return (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        from f5tts_tpu.audio import native
+
+        return native.encode_pcm16(audio)
     if subtype == "float32":
         return audio
     raise ValueError(f"unknown subtype {subtype!r}")

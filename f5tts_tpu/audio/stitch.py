@@ -1,8 +1,14 @@
-"""Crossfade stitching of per-chunk waveforms (``utils_infer.py:484-519``)."""
+"""Crossfade stitching of per-chunk waveforms (``utils_infer.py:484-519``).
+
+Runs through the native C++ ops (``f5tts_tpu.audio.native``) when the shared
+library is available; numpy otherwise — identical output either way.
+"""
 
 from __future__ import annotations
 
 import numpy as np
+
+from f5tts_tpu.audio import native
 
 
 def crossfade_concat(waves: list[np.ndarray], cross_fade_duration: float = 0.15, sample_rate: int = 24000) -> np.ndarray:
@@ -10,15 +16,8 @@ def crossfade_concat(waves: list[np.ndarray], cross_fade_duration: float = 0.15,
         return np.zeros(0, dtype=np.float32)
     if cross_fade_duration <= 0:
         return np.concatenate(waves)
-    final = waves[0]
+    final = np.asarray(waves[0], np.float32)
+    n = int(cross_fade_duration * sample_rate)
     for nxt in waves[1:]:
-        n = int(cross_fade_duration * sample_rate)
-        n = min(n, len(final), len(nxt))
-        if n <= 0:
-            final = np.concatenate([final, nxt])
-            continue
-        fade_out = np.linspace(1.0, 0.0, n, dtype=np.float32)
-        fade_in = np.linspace(0.0, 1.0, n, dtype=np.float32)
-        overlap = final[-n:] * fade_out + nxt[:n] * fade_in
-        final = np.concatenate([final[:-n], overlap, nxt[n:]])
+        final = native.crossfade_pair(final, np.asarray(nxt, np.float32), n)
     return final

@@ -30,6 +30,21 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
 
+def _flash_single_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Single-pass path when the whole key row fits one block: plain softmax,
+    no online-accumulation carries."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     q = q_ref[0]  # (BQ, d)
     n = k_ref.shape[1]
@@ -96,8 +111,13 @@ def flash_attention(
         return t.reshape(b * h, n, d)
 
     grid = (b * h, n // block_q)
+    kernel = (
+        functools.partial(_flash_single_kernel, scale=scale)
+        if block_k == n
+        else functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    )
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, n), lambda bh, qi: (bh // h, 0, 0), memory_space=pltpu.VMEM),  # bias per batch row

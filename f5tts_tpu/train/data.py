@@ -31,6 +31,7 @@ class Item:
     wav_path: str | None
     text: str
     n_frames: int
+    hf_index: int | None = None  # row in the source HF dataset (survives filtering)
 
 
 class FramePackedDataset:
@@ -65,7 +66,42 @@ class FramePackedDataset:
         tok = Tokenizer.from_file(vocab_file) if vocab_file else Tokenizer.from_texts(texts)
         return cls(items, tok, mel_cfg)
 
-    def _load_mel(self, it: Item) -> np.ndarray:
+    @classmethod
+    def from_hf_dataset(cls, dataset, text_column: str = "text", audio_column: str = "audio",
+                        vocab_file: str = "", mel_cfg: MelConfig = MelConfig()):
+        """HF-datasets source (parity with ``model/dataset.py:HFDataset``):
+        rows carry decoded audio arrays; mel computed on the fly. Pass an
+        already-loaded (local) dataset object — zero-egress builds must not
+        trigger hub downloads here."""
+        from f5tts_tpu.text.tokenizer import Tokenizer
+
+        items, texts, arrays = [], [], []
+        for i, row in enumerate(dataset):
+            audio = row[audio_column]
+            arr, sr = np.asarray(audio["array"], np.float32), int(audio["sampling_rate"])
+            secs = len(arr) / sr
+            texts.append(row[text_column])
+            arrays.append((arr, sr))
+            items.append(Item(None, None, row[text_column], int(secs * mel_cfg.frames_per_second), hf_index=i))
+        tok = Tokenizer.from_file(vocab_file) if vocab_file else Tokenizer.from_texts(texts)
+        ds = cls(items, tok, mel_cfg)
+        ds._hf_arrays = arrays
+        return ds
+
+    def _load_mel(self, idx: int) -> np.ndarray:
+        it = self.items[idx]
+        if it.hf_index is not None and hasattr(self, "_hf_arrays"):
+            import jax.numpy as jnp
+
+            from f5tts_tpu.audio.preprocess import resample
+            from f5tts_tpu.ops.mel import log_mel_spectrogram
+
+            arr, sr = self._hf_arrays[it.hf_index]
+            arr = resample(arr, sr, self.mel_cfg.sample_rate)
+            return np.asarray(log_mel_spectrogram(jnp.asarray(arr[None]), self.mel_cfg))[0]
+        return self._load_mel_file(it)
+
+    def _load_mel_file(self, it: Item) -> np.ndarray:
         if it.mel_path:
             return np.load(it.mel_path).astype(np.float32)
         import jax.numpy as jnp
@@ -108,7 +144,7 @@ class FramePackedDataset:
             epoch += 1
 
     def _collate(self, idxs: list[int], frame_bucket: int) -> dict:
-        mels = [self._load_mel(self.items[i]) for i in idxs]
+        mels = [self._load_mel(i) for i in idxs]
         texts = [self.items[i].text for i in idxs]
         lens = np.asarray([m.shape[0] for m in mels], np.int32)
         n = round_up(int(lens.max()), frame_bucket)

@@ -141,6 +141,7 @@ class Trainer:
         log_every: int = 50,
         save_every: int = 10_000,
         logger=None,
+        sample_hook=None,  # callable(state, step): periodic sample synthesis (trainer.py:341-366 parity)
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
@@ -150,6 +151,7 @@ class Trainer:
         self.log_every = log_every
         self.save_every = save_every
         self.logger = logger
+        self.sample_hook = sample_hook
         self._step_fn = None
 
     def init_or_resume(self):
@@ -209,8 +211,11 @@ class Trainer:
                     grad_norm=float(metrics["grad_norm"]),
                     frames_per_s=frames_done / max(dt, 1e-9),
                 )
-            if self.checkpoint_dir and step_no % self.save_every == 0:
-                from f5tts_tpu.train.checkpoint import save_state
+            if step_no % self.save_every == 0:
+                if self.checkpoint_dir:
+                    from f5tts_tpu.train.checkpoint import save_state
 
-                save_state(self.checkpoint_dir, step_no, state)
+                    save_state(self.checkpoint_dir, step_no, state)
+                if self.sample_hook:
+                    self.sample_hook(state, step_no)
         return state

@@ -78,6 +78,22 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]))
 
 
+def test_hf_dataset_source():
+    import datasets
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"text": f"sample {i}", "audio": {"array": (rng.standard_normal(24000) * 0.1).tolist(), "sampling_rate": 24000}}
+        for i in range(3)
+    ]
+    ds_hf = datasets.Dataset.from_list(rows)
+    ds = FramePackedDataset.from_hf_dataset(ds_hf)
+    assert len(ds.items) == 3
+    batch = next(ds.batches(batch_frames=400, max_samples=4, frame_bucket=32))
+    assert batch["mel"].shape[-1] == 100
+    assert np.all(np.isfinite(batch["mel"]))
+
+
 def test_frame_packed_batching(tmp_path):
     import json
 

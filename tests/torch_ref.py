@@ -204,6 +204,127 @@ def _index_tree(tree, i):
     return tree[i]
 
 
+def rms_norm(p, x, eps=1e-8):
+    scale = x.shape[-1] ** 0.5
+    normed = x * torch.rsqrt(torch.clamp((x * x).sum(-1, keepdim=True), min=eps)) * scale
+    return normed * t_(p["g"])
+
+
+def unett_forward(params, cfg, x, cond, text, time, drop_audio_cond, drop_text, mask=None):
+    """Reference UNetT semantics (unett.py:164-219): time token prepended,
+    RMSNorm pre-norm, LIFO U-Net skips with concat+proj."""
+    b, n, _ = x.shape
+    if time.ndim == 0:
+        time = time.repeat(b)
+    t_emb = timestep_embedding(params["time_embed"], time)
+    te = text_embed(params["text_embed"], cfg, text, n, drop_text)
+    if drop_audio_cond:
+        cond = torch.zeros_like(cond)
+    h = linear(params["input_embed"]["proj"], torch.cat([x, cond, te], dim=-1))
+    h = conv_pos_embedding(params["input_embed"]["conv_pos"], h, mask) + h
+
+    h = torch.cat([t_emb.unsqueeze(1), h], dim=1)
+    if mask is not None:
+        mask = F.pad(mask, (1, 0), value=True)
+    freqs = rotary_freqs(n + 1, cfg["dim_head"])
+
+    half = params["first_half"]["attn"]["to_q"]["w"].shape[0]
+    skips = []
+    for i in range(half):
+        blk = _index_tree(params["first_half"], i)
+        skips.append(h)
+        h = attention(blk["attn"], rms_norm(blk["attn_norm"], h), cfg["heads"], freqs, mask) + h
+        h = feed_forward(blk["ff"], rms_norm(blk["ff_norm"], h)) + h
+    for i in range(half):
+        blk = _index_tree(params["second_half"], i)
+        skip = skips.pop()
+        if "skip_proj" in blk:
+            h = linear(blk["skip_proj"], torch.cat([h, skip], dim=-1))
+        h = attention(blk["attn"], rms_norm(blk["attn_norm"], h), cfg["heads"], freqs, mask) + h
+        h = feed_forward(blk["ff"], rms_norm(blk["ff_norm"], h)) + h
+    h = rms_norm(params["norm_out"], h)[:, 1:, :]
+    return linear(params["proj_out"], h)
+
+
+def mmdit_text_embed(params, cfg, text, drop_text=False):
+    text = text + 1
+    if drop_text:
+        text = torch.zeros_like(text)
+    h = t_(params["text_embed"]["w"])[text]
+    table = precompute_freqs_cis(cfg["dim"], cfg["text_max_pos"])
+    return h + table[: h.shape[1]][None]
+
+
+def mmdit_forward(params, cfg, x, cond, text, time, drop_audio_cond, drop_text, mask=None):
+    """Reference MMDiT semantics (mmdit.py:116-146 + modules.py:456-642)."""
+    b, n, _ = x.shape
+    if time.ndim == 0:
+        time = time.repeat(b)
+    t_emb = timestep_embedding(params["time_embed"], time)
+    c = mmdit_text_embed(params, cfg, text, drop_text)
+    if drop_audio_cond:
+        cond = torch.zeros_like(cond)
+    h = linear(params["audio_embed"]["proj"], torch.cat([x, cond], dim=-1))
+    h = conv_pos_embedding(params["audio_embed"]["conv_pos"], h) + h
+
+    freqs_x = rotary_freqs(n, cfg["dim_head"])
+    freqs_c = rotary_freqs(c.shape[1], cfg["dim_head"])
+    heads = cfg["heads"]
+    nt = c.shape[1]
+
+    def joint_block(p, h, c, pre_only):
+        if pre_only:
+            norm_c = adaln_zero_final(p["attn_norm_c"], c, t_emb)
+        else:
+            norm_c, cg, csh, csc, cgm = adaln_zero(p["attn_norm_c"], c, t_emb)
+        norm_x, xg, xsh, xsc, xgm = adaln_zero(p["attn_norm_x"], h, t_emb)
+
+        a = p["attn"]
+        q = apply_rotary(linear(a["to_q"], norm_x), freqs_x)
+        k = apply_rotary(linear(a["to_k"], norm_x), freqs_x)
+        v = linear(a["to_v"], norm_x)
+        cq = apply_rotary(linear(a["to_q_c"], norm_c), freqs_c)
+        ck = apply_rotary(linear(a["to_k_c"], norm_c), freqs_c)
+        cv = linear(a["to_v_c"], norm_c)
+        q = torch.cat([q, cq], dim=1)
+        k = torch.cat([k, ck], dim=1)
+        v = torch.cat([v, cv], dim=1)
+        hd = q.shape[-1] // heads
+        qh = q.view(b, n + nt, heads, hd).transpose(1, 2)
+        kh = k.view(b, n + nt, heads, hd).transpose(1, 2)
+        vh = v.view(b, n + nt, heads, hd).transpose(1, 2)
+        attn_mask = None
+        if mask is not None:
+            am = F.pad(mask, (0, nt), value=True)
+            attn_mask = am.unsqueeze(1).unsqueeze(1).expand(b, heads, n + nt, n + nt)
+        o = F.scaled_dot_product_attention(qh, kh, vh, attn_mask=attn_mask, is_causal=False)
+        o = o.transpose(1, 2).reshape(b, n + nt, heads * hd)
+        xo, co = o[:, :n], o[:, n:]
+        xo = linear(a["to_out"], xo)
+        if not pre_only:
+            co = linear(a["to_out_c"], co)
+        if mask is not None:
+            xo = xo.masked_fill(~mask[..., None], 0.0)
+
+        if pre_only:
+            c_new = None
+        else:
+            c_new = c + cg.unsqueeze(1) * co
+            norm_c2 = layer_norm(c_new) * (1 + csc[:, None]) + csh[:, None]
+            c_new = c_new + cgm.unsqueeze(1) * feed_forward(p["ff_c"], norm_c2)
+        h_new = h + xg.unsqueeze(1) * xo
+        norm_x2 = layer_norm(h_new) * (1 + xsc[:, None]) + xsh[:, None]
+        h_new = h_new + xgm.unsqueeze(1) * feed_forward(p["ff_x"], norm_x2)
+        return h_new, c_new
+
+    depth_minus1 = params["blocks"]["attn"]["to_q"]["w"].shape[0]
+    for i in range(depth_minus1):
+        h, c = joint_block(_index_tree(params["blocks"], i), h, c, False)
+    h, _ = joint_block(params["final_block"], h, c, True)
+    h = adaln_zero_final(params["norm_out"], h, t_emb)
+    return linear(params["proj_out"], h)
+
+
 def convnext_v1_block(p, x):
     h = conv1d(p["dwconv"], x, groups=x.shape[-1], padding=3)
     h = layer_norm(h, p["norm_w"], p["norm_b"])
