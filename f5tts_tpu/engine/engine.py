@@ -346,6 +346,71 @@ class TTSEngine:
         combined_mel = np.concatenate(mels, axis=0) if mels else np.zeros((0, cfg.mel.n_mels), np.float32)
         return final, TARGET_SR, combined_mel
 
+    def synthesize_streaming(
+        self,
+        gen_text: str,
+        ref_audio: np.ndarray,
+        ref_sr: int,
+        ref_text: str,
+        *,
+        speed: float | None = None,
+        nfe_step: int | None = None,
+        cfg_strength: float | None = None,
+        seed: int | None = None,
+        cross_fade_duration: float | None = None,
+    ):
+        """Generator of waveform segments, emitted as each text chunk finishes
+        its ODE solve — time-to-first-audio is one chunk instead of the whole
+        utterance (the reference buffers everything, ``routes/speech.py:37``).
+        Crossfade regions are blended across yields; concatenating all yields
+        equals the non-streaming output."""
+        cfg = self.cfg
+        speed = speed if speed is not None else cfg.speed
+        steps = nfe_step if nfe_step is not None else cfg.sampler.steps
+        guidance = cfg_strength if cfg_strength is not None else cfg.sampler.cfg_strength
+        xfade = cross_fade_duration if cross_fade_duration is not None else cfg.cross_fade_duration
+        n_fade = int(xfade * TARGET_SR)
+
+        if ref_audio.ndim == 2:
+            ref_audio = ref_audio.mean(axis=0)
+        ref_audio, rms = normalize_rms(ref_audio, cfg.target_rms)
+        if ref_sr != TARGET_SR:
+            ref_audio = resample(ref_audio, ref_sr, TARGET_SR)
+        ref_secs = len(ref_audio) / TARGET_SR
+        if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
+            ref_text = ref_text + " "
+        cond_mel = np.asarray(log_mel_spectrogram(jnp.asarray(ref_audio[None]), cfg.mel))[0]
+        ref_frames = len(ref_audio) // cfg.mel.hop_length
+
+        chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs), 1)) or [gen_text]
+
+        from f5tts_tpu.audio import native
+
+        pending: np.ndarray | None = None
+        for ci, c in enumerate(chunks):
+            is_last = ci == len(chunks) - 1
+            dur = min(
+                duration_frames(ref_frames, ref_text, c, speed, None, cfg.mel.sample_rate, cfg.mel.hop_length),
+                cfg.max_duration,
+            )
+            rows = [RowSpec(text=ref_text + c, cond_mel=cond_mel[:ref_frames], ref_frames=ref_frames,
+                            duration=dur, steps=steps, cfg_strength=guidance, seed=seed)]
+            wave = self.synthesize_rows(rows)[0][0]
+            if rms < cfg.target_rms:
+                wave = wave * rms / cfg.target_rms
+            if pending is None:
+                merged = wave
+            else:
+                merged = native.crossfade_pair(pending, wave, min(n_fade, len(pending), len(wave)))
+            if not is_last and n_fade > 0:
+                yield merged[:-n_fade] if len(merged) > n_fade else merged[:0]
+                pending = merged[-n_fade:]
+            else:
+                yield merged
+                pending = None
+        if pending is not None and len(pending):
+            yield pending
+
     def synthesize_batch(
         self,
         chunks: list[str],

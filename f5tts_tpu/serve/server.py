@@ -199,12 +199,62 @@ def build_app(settings: Settings) -> web.Application:
         if not req.effective_text.strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text must not be empty"}))
 
+        if req.response_format == "stream":
+            return await stream_speech(request, req)
         data = await asyncio.get_running_loop().run_in_executor(None, service.synthesize_sync, req)
         return web.Response(
             body=data,
             content_type="audio/wav",
             headers={"Content-Disposition": 'inline; filename="speech.wav"', "Cache-Control": "no-cache"},
         )
+
+    async def stream_speech(request: web.Request, req: SpeechRequest) -> web.StreamResponse:
+        """Chunked-transfer WAV: header with unknown length, then int16 PCM as
+        each text chunk's ODE solve completes (time-to-first-audio = 1 chunk)."""
+        import queue as _queue
+        import struct
+
+        from f5tts_tpu.audio import native
+
+        voice = req.voice or next(iter(service.voices))
+        if voice not in service.voices:
+            raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
+        ref_audio, ref_sr, ref_text = service.voices[voice]
+        ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
+
+        resp = web.StreamResponse(headers={"Content-Type": "audio/wav", "Cache-Control": "no-cache"})
+        resp.enable_chunked_encoding()
+        await resp.prepare(request)
+        # WAV header with streaming (unknown) sizes
+        sr = 24000
+        header = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16
+        ) + b"data" + struct.pack("<I", 0xFFFFFFFF)
+        await resp.write(header)
+
+        q: _queue.Queue = _queue.Queue(maxsize=4)
+
+        def produce():
+            try:
+                for seg in service.engine.synthesize_streaming(
+                    req.effective_text, ref_audio, ref_sr, ref_text,
+                    speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
+                ):
+                    q.put(native.encode_pcm16(seg).tobytes())
+            except Exception as e:  # surfaced as stream truncation
+                log.error("stream synthesis failed: %s", e)
+            finally:
+                q.put(None)
+
+        loop = asyncio.get_running_loop()
+        loop.run_in_executor(None, produce)
+        while True:
+            chunk = await loop.run_in_executor(None, q.get)
+            if chunk is None:
+                break
+            await resp.write(chunk)
+        await resp.write_eof()
+        return resp
 
     async def transcribe(request: web.Request) -> web.Response:
         check_auth(request)

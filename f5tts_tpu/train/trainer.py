@@ -59,21 +59,45 @@ def make_optimizer(cfg: TrainConfig):
     )
 
 
-def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=jnp.bfloat16):
+def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=jnp.bfloat16,
+                   accum_steps: int = 1):
     """Returns ``step(state, batch) -> (state, metrics)``; pure, jit/pjit-able.
 
     state = dict(params, opt_state, ema, step); batch = dict(mel, text, lens, key).
+    With ``accum_steps > 1`` (gradient accumulation, ``trainer.py:53-65``
+    parity), batch arrays carry a leading accumulation axis (accum, b, ...)
+    and grads are averaged over micro-batches via lax.scan before one
+    optimizer update.
     """
     optimizer = make_optimizer(train_cfg)
 
-    def step_fn(state, batch):
-        def loss_fn(params):
-            return cfm_loss(
-                params, model_cfg, batch["key"], batch["mel"], batch["text"], batch["lens"],
-                compute_dtype=compute_dtype,
-            )
+    def grads_of(params, mel, text, lens, key):
+        def loss_fn(p):
+            return cfm_loss(p, model_cfg, key, mel, text, lens, compute_dtype=compute_dtype)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def step_fn(state, batch):
+        if accum_steps == 1:
+            (loss, aux), grads = grads_of(state["params"], batch["mel"], batch["text"], batch["lens"], batch["key"])
+        else:
+            keys = jax.random.split(batch["key"], accum_steps)
+
+            def micro(carry, inp):
+                acc_grads, acc_loss = carry
+                mel, text, lens, key = inp
+                (loss, _aux), grads = grads_of(state["params"], mel, text, lens, key)
+                acc_grads = jax.tree.map(lambda a, g: a + g, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), None
+
+            zero = jax.tree.map(jnp.zeros_like, state["params"])
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, (zero, 0.0), (batch["mel"], batch["text"], batch["lens"], keys)
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            loss = loss_sum / accum_steps
+            aux = {}
+
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         step = state["step"] + 1

@@ -35,6 +35,32 @@ def test_train_step_runs_and_advances():
     assert int(state3["step"]) == 2
 
 
+def test_grad_accumulation_matches_manual_average():
+    cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100)
+    state = init_train_state(jax.random.PRNGKey(0), TINY, cfg)
+    b1 = next(synthetic_batches(TINY.model, frames=32, batch=2, n_batches=1, seed=1))
+    b2 = next(synthetic_batches(TINY.model, frames=32, batch=2, n_batches=1, seed=2))
+    key = jax.random.PRNGKey(5)
+
+    # accumulated step over stacked micro-batches
+    step_acc = jax.jit(make_train_step(TINY, cfg, compute_dtype=jnp.float32, accum_steps=2))
+    stacked = {
+        "mel": jnp.stack([jnp.asarray(b1["mel"]), jnp.asarray(b2["mel"])]),
+        "text": jnp.stack([jnp.asarray(b1["text"]), jnp.asarray(b2["text"])]),
+        "lens": jnp.stack([jnp.asarray(b1["lens"]), jnp.asarray(b2["lens"])]),
+        "key": key,
+    }
+    _, metrics = step_acc(state, stacked)
+
+    # manual: average of per-micro losses with the same split keys
+    from f5tts_tpu.models.cfm import cfm_loss
+
+    k1, k2 = jax.random.split(key, 2)
+    l1 = cfm_loss(state["params"], TINY, k1, jnp.asarray(b1["mel"]), jnp.asarray(b1["text"]), jnp.asarray(b1["lens"]))[0]
+    l2 = cfm_loss(state["params"], TINY, k2, jnp.asarray(b2["mel"]), jnp.asarray(b2["text"]), jnp.asarray(b2["lens"]))[0]
+    assert abs(float(metrics["loss"]) - float((l1 + l2) / 2)) < 1e-5
+
+
 def test_lr_schedule_warmup_then_decay():
     cfg = TrainConfig(learning_rate=1.0, warmup_updates=100, total_updates=1100)
     sched = lr_schedule(cfg)
