@@ -367,6 +367,12 @@ def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", r
         from f5tts_tpu.ops.pallas.flash_attention import flash_attention
 
         o = flash_attention(q, k, v, mask)
+    elif impl == "ring":
+        # context-parallel: sequence axis sharded over the ambient mesh's
+        # 'cp' axis (jax.sharding.set_mesh); see parallel/ring_attention.py
+        from f5tts_tpu.parallel.ring_attention import ring_attention
+
+        o = ring_attention(q, k, v, mask)
     else:
         o = sdpa_xla(q, k, v, mask)
 

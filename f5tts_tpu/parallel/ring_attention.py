@@ -52,13 +52,12 @@ def _ring_body(q, k, v, bias, axis_name: str):
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
 def ring_attention(
     q: jnp.ndarray,  # (b, h, n, d) — n shardable by the cp axis
     k: jnp.ndarray,
     v: jnp.ndarray,
     key_mask: jnp.ndarray | None,  # (b, n) bool
-    mesh: Mesh,
+    mesh: Mesh | None = None,  # None -> ambient mesh (jax.sharding.set_mesh)
     axis_name: str = "cp",
 ) -> jnp.ndarray:
     b, h, n, d = q.shape
@@ -67,12 +66,13 @@ def ring_attention(
     bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
 
     seq_spec = P(None, None, axis_name, None)
+    kwargs = {} if mesh is None else {"mesh": mesh}
     out = jax.shard_map(
         functools.partial(_ring_body, axis_name=axis_name),
-        mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, P(None, axis_name)),
         out_specs=seq_spec,
         check_vma=False,
+        **kwargs,
     )(q, k, v, bias)
     return out
 
