@@ -63,6 +63,13 @@ class ModelService:
         self.engine = None
         self.batcher = None
         self.voices: dict[str, tuple[np.ndarray, int, str]] = {}
+        # failure detection / recovery (the reference's only recovery is a
+        # docker restart policy — SURVEY §5): consecutive synthesis failures
+        # trigger one automatic model reload; health reports the counters.
+        self.failures = 0
+        self.reloads = 0
+        self._reloading = False
+        self._fail_lock = __import__("threading").Lock()
 
     @property
     def loaded(self) -> bool:
@@ -145,11 +152,42 @@ class ModelService:
             raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
         ref_audio, ref_sr, ref_text = self.voices[voice]
         ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
-        wave, sr, _ = self.engine.synthesize(
-            req.effective_text, ref_audio, ref_sr, ref_text,
-            speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
-        )
+        try:
+            wave, sr, _ = self.engine.synthesize(
+                req.effective_text, ref_audio, ref_sr, ref_text,
+                speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
+            )
+        except web.HTTPException:
+            raise
+        except Exception as e:
+            self._record_failure(e)
+            raise web.HTTPInternalServerError(text=json.dumps({"error": f"synthesis failed: {e}"}))
+        with self._fail_lock:
+            self.failures = 0
         return wav_bytes(wave, sr)
+
+    def _record_failure(self, exc: Exception, threshold: int = 2):
+        """Consecutive device/runtime failures -> one background reload."""
+        log.error("synthesis failure: %s", exc)
+        with self._fail_lock:
+            self.failures += 1
+            should_reload = self.failures >= threshold and not self._reloading
+            if should_reload:
+                self._reloading = True
+
+        if should_reload:
+            def _do():
+                try:
+                    log.warning("reloading models after %d consecutive failures", self.failures)
+                    self.unload()
+                    self.load()
+                    self.reloads += 1
+                    with self._fail_lock:
+                        self.failures = 0
+                finally:
+                    self._reloading = False
+
+            __import__("threading").Thread(target=_do, name="model-reload", daemon=True).start()
 
 
 @web.middleware
@@ -300,6 +338,8 @@ def build_app(settings: Settings) -> web.Application:
                 "status": "healthy" if service.loaded else "idle",
                 "model": "demo_tiny" if settings.demo_tiny else "IndicF5-TPU",
                 "device": settings.device,
+                "consecutive_failures": service.failures,
+                "reloads": service.reloads,
                 **stats,
             }
         )

@@ -23,6 +23,39 @@ PAGE = """<!doctype html>
 </div>
 <div class="row"><button id="go">Synthesize</button><span id="status"></span></div>
 <div class="row"><audio id="player" controls style="width:100%"></audio></div>
+<hr>
+<h3>Voice chat</h3>
+<p style="color:#666">Speak, transcribe (local Whisper weights required), reply through TTS — the
+reference Gradio app's voice-chat tab (`infer_gradio.py:534-739`) as a browser flow.</p>
+<div class="row">
+ <button id="rec">● Record</button>
+ <span id="vstatus"></span>
+</div>
+<div class="row"><audio id="vplayer" controls style="width:100%"></audio></div>
+<script>
+let mediaRec = null, chunks = [];
+document.getElementById('rec').onclick = async () => {
+  const btn = document.getElementById('rec'), st = document.getElementById('vstatus');
+  if (mediaRec && mediaRec.state === 'recording') { mediaRec.stop(); btn.textContent = '● Record'; return; }
+  try {
+    const stream = await navigator.mediaDevices.getUserMedia({audio: true});
+    mediaRec = new MediaRecorder(stream); chunks = [];
+    mediaRec.ondataavailable = e => chunks.push(e.data);
+    mediaRec.onstop = async () => {
+      st.textContent = 'thinking...';
+      const fd = new FormData();
+      fd.append('file', new Blob(chunks), 'input.webm');
+      const r = await fetch('/v1/speech_to_speech', {method: 'POST', body: fd});
+      if (!r.ok) { st.textContent = 'error: ' + (await r.text()); return; }
+      const blob = await r.blob();
+      document.getElementById('vplayer').src = URL.createObjectURL(blob);
+      document.getElementById('vplayer').play();
+      st.textContent = '';
+    };
+    mediaRec.start(); btn.textContent = '■ Stop'; st.textContent = 'recording...';
+  } catch (e) { st.textContent = 'mic error: ' + e; }
+};
+</script>
 <script>
 async function loadVoices() {
   try {
