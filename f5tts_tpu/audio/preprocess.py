@@ -106,6 +106,30 @@ def clip_ref_audio(audio: np.ndarray, sr: int, max_ms: int = 15000) -> np.ndarra
     return np.concatenate([clipped, np.zeros(int(sr * 0.05), dtype=audio.dtype)])
 
 
+def remove_long_silences(audio: np.ndarray, sr: int, min_silence_ms: int = 1000,
+                         thresh_db: float = -50.0, keep_silence_ms: int = 500) -> np.ndarray:
+    """Collapse long internal silences (``utils_infer.py:530-539``:
+    remove_silence_for_generated_wav semantics — split on silence, re-concat)."""
+    segs = split_on_silence(audio, sr, min_silence_ms, thresh_db, keep_silence_ms)
+    if not segs:
+        return audio[:0]
+    return np.concatenate(segs)
+
+
+def save_spectrogram(mel: np.ndarray, path: str) -> None:
+    """Mel (frames, n_mels) -> PNG (``utils_infer.py:545-550`` parity)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(12, 4))
+    plt.imshow(mel.T, origin="lower", aspect="auto")
+    plt.colorbar()
+    plt.savefig(path)
+    plt.close()
+
+
 def resample(audio: np.ndarray, sr: int, target_sr: int = TARGET_SR) -> np.ndarray:
     if sr == target_sr:
         return audio

@@ -192,9 +192,9 @@ def main(argv=None):
     final = crossfade_concat(waves, 0.0) if len(waves) > 1 else waves[0]
 
     if args.remove_silence:
-        from f5tts_tpu.audio.preprocess import remove_silence_edges
+        from f5tts_tpu.audio.preprocess import remove_long_silences
 
-        final = remove_silence_edges(final, sr)
+        final = remove_long_silences(final, sr)
 
     write_wav(args.output, final, sr)
     print(f"wrote {args.output}: {len(final) / sr:.2f}s at {sr} Hz")

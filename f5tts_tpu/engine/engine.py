@@ -128,6 +128,9 @@ class TTSEngine:
             from f5tts_tpu.models.dit import quantize_dit_params
 
             dit_params = quantize_dit_params(dit_params)
+        # NOTE: fuse_attention_qkv benched ~11% slower end-to-end (24.9x vs
+        # 28.0x) — XLA pipelines the three separate projections better than
+        # one matmul + split; intentionally not applied.
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
         self.vocos_params = vocos_params

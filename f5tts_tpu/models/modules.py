@@ -155,6 +155,17 @@ def _conv1d_grouped(p, x, groups: int, padding: int, dilation: int = 1):
     return y.reshape(b, n, c_out) + p["b"].astype(x.dtype)
 
 
+def fuse_attention_qkv(attn_params):
+    """Host-side, once: concat to_q/to_k/to_v into one (in, 3*inner) projection
+    (one MXU launch per block instead of three). Works on stacked block params
+    (leading depth axis) too. Inference-only transform."""
+    q, k, v = attn_params["to_q"], attn_params["to_k"], attn_params["to_v"]
+    fused = {"w": jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)}
+    if "b" in q:
+        fused["b"] = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
+    return {"qkv": fused, "to_out": attn_params["to_out"]}
+
+
 def densify_grouped_conv(p, groups: int):
     """Host-side, once: embed a grouped kernel ``(k, c_in/g, c_out)`` into its
     block-diagonal dense form ``(k, c_in, c_out)`` (inference-only speedup)."""
@@ -344,14 +355,22 @@ def init_attention(key, dim: int, heads: int, dim_head: int):
 def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False):
     """Self-attention with the reference's flat-RoPE parity quirk (see ops.rope)."""
     from f5tts_tpu.ops.attention import sdpa_xla
-    from f5tts_tpu.ops.rope import apply_rotary, apply_rotary_per_head
+    from f5tts_tpu.ops.rope import apply_rotary_per_head
 
     b, n, _ = x.shape
-    q = linear(p["to_q"], x)
-    k = linear(p["to_k"], x)
-    v = linear(p["to_v"], x)
+    if "qkv" in p:  # fused projection layout (fuse_attention_qkv; off by default — benched slower)
+        qkv = linear(p["qkv"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(p["to_q"], x)
+        k = linear(p["to_k"], x)
+        v = linear(p["to_v"], x)
 
     if rope_freqs is not None and not rope_all_heads:
+        # reference parity quirk: RoPE on the flat pre-split projection touches
+        # only the first dim_head channels (head 0)
+        from f5tts_tpu.ops.rope import apply_rotary
+
         q = apply_rotary(q, rope_freqs)
         k = apply_rotary(k, rope_freqs)
 
