@@ -1,0 +1,107 @@
+"""HTTP API tests against the real aiohttp app (demo-tiny model, CPU)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from f5tts_tpu.serve.server import build_app
+from f5tts_tpu.utils.config import Settings
+
+
+@pytest.fixture(scope="module")
+def client():
+    loop = asyncio.new_event_loop()
+    settings = Settings(demo_tiny=True, warmup=False, speech_rate_limit="100/minute")
+    app = build_app(settings)
+    server = TestServer(app, loop=loop)
+    client = TestClient(server, loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def _req(client_loop, method, path, **kw):
+    client, loop = client_loop
+    resp = loop.run_until_complete(client.request(method, path, **kw))
+    body = loop.run_until_complete(resp.read())
+    return resp, body
+
+
+def test_health_and_index(client):
+    resp, body = _req(client, "GET", "/v1/health")
+    assert resp.status == 200
+    data = json.loads(body)
+    assert data["status"] == "healthy"
+    assert "consecutive_failures" in data
+
+    resp, body = _req(client, "GET", "/")
+    assert resp.status == 200
+    assert "/v1/audio/speech" in body.decode()
+
+
+def test_speech_roundtrip(client):
+    resp, body = _req(
+        client, "POST", "/v1/audio/speech",
+        json={"text": "server test sentence.", "nfe_step": 2, "seed": 4},
+    )
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("audio/wav")
+    from f5tts_tpu.audio.io import read_wav
+
+    wav, sr = read_wav(bytes(body))
+    assert sr == 24000 and len(wav) > 1000 and np.isfinite(wav).all()
+
+    # determinism with a fixed seed
+    resp2, body2 = _req(
+        client, "POST", "/v1/audio/speech",
+        json={"text": "server test sentence.", "nfe_step": 2, "seed": 4},
+    )
+    assert body2 == body
+
+
+def test_speech_streaming(client):
+    resp, body = _req(
+        client, "POST", "/v1/audio/speech",
+        json={"text": "stream me please.", "nfe_step": 2, "response_format": "stream"},
+    )
+    assert resp.status == 200
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm = np.frombuffer(body[44:], dtype=np.int16)
+    assert len(pcm) > 1000
+
+
+def test_error_paths(client):
+    resp, _ = _req(client, "POST", "/v1/audio/speech", json={"text": ""})
+    assert resp.status == 400
+    resp, _ = _req(client, "POST", "/v1/audio/speech", json={"text": "x", "voice": "ghost"})
+    assert resp.status == 400
+    resp, _ = _req(client, "POST", "/v1/audio/speech", data=b"nonsense")
+    assert resp.status == 400
+    resp, _ = _req(client, "POST", "/v1/indic_chat", json={"prompt": "hi", "src_lang": "hin_Deva"})
+    assert resp.status == 501  # no local LLM weights in this build
+    resp, _ = _req(client, "POST", "/v1/translate", json={"sentences": ["hi"], "src_lang": "a", "tgt_lang": "b"})
+    assert resp.status == 501
+
+
+def test_voices_webui_metrics(client):
+    resp, body = _req(client, "GET", "/v1/voices")
+    assert resp.status == 200 and "default" in json.loads(body)["voices"]
+    resp, body = _req(client, "GET", "/app")
+    assert resp.status == 200 and b"Synthesize" in body
+    resp, body = _req(client, "GET", "/v1/metrics")
+    assert resp.status == 200 and "stages" in json.loads(body)
+
+
+def test_unload_load_cycle(client):
+    resp, _ = _req(client, "POST", "/v1/unload_all_models")
+    assert resp.status == 200
+    resp, _ = _req(client, "POST", "/v1/audio/speech", json={"text": "hi."})
+    assert resp.status == 503  # model not loaded
+    resp, _ = _req(client, "POST", "/v1/load_all_models")
+    assert resp.status == 200
+    resp, _ = _req(client, "POST", "/v1/audio/speech", json={"text": "hi again.", "nfe_step": 2})
+    assert resp.status == 200
