@@ -48,7 +48,7 @@ def cfm_loss(
 ):
     """Returns (loss, aux dict). Pure; wrap in jax.value_and_grad."""
     b, n, _ = mel.shape
-    k_frac, k_span, k_x0, k_t, k_drop1, k_drop2 = jax.random.split(key, 6)
+    k_frac, k_span, k_x0, k_t, k_drop1, k_drop2, k_dropout = jax.random.split(key, 7)
 
     mask = lens_to_mask(lens, n)
     lo, hi = cfg.frac_lengths_mask
@@ -69,7 +69,8 @@ def cfm_loss(
     drop_text = jnp.broadcast_to(drop_both, (b,))
 
     pred = forward_fn(
-        params, cfg.model, phi, cond, text, t, drop_audio_cond, drop_text, mask=None, compute_dtype=compute_dtype
+        params, cfg.model, phi, cond, text, t, drop_audio_cond, drop_text, mask=None,
+        compute_dtype=compute_dtype, dropout_rng=k_dropout,
     )
 
     se = jnp.square(pred.astype(jnp.float32) - flow.astype(jnp.float32))

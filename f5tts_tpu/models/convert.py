@@ -215,6 +215,64 @@ def _to_jnp(tree):
     return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
 
 
+def export_f5_state_dict(params, cfg: DiTConfig) -> dict[str, np.ndarray]:
+    """Inverse of ``convert_f5_dit``: write our pytree in the reference's torch
+    key/shape layout (Linear (out,in), Conv1d (out,in/g,k), GRN (1,1,d)) so
+    checkpoints trained here load into the PyTorch implementation."""
+    sd: dict[str, np.ndarray] = {}
+
+    def lin(prefix, p):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+        if "b" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def conv(prefix, p):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).transpose(2, 1, 0))
+        sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    import jax
+
+    t = "transformer"
+    lin(f"{t}.time_embed.time_mlp.0", params["time_embed"]["mlp1"])
+    lin(f"{t}.time_embed.time_mlp.2", params["time_embed"]["mlp2"])
+    sd[f"{t}.text_embed.text_embed.weight"] = np.asarray(params["text_embed"]["embed"]["w"])
+    for i in range(cfg.conv_layers):
+        blk = jax.tree.map(lambda x: x[i], params["text_embed"]["blocks"])
+        conv(f"{t}.text_embed.text_blocks.{i}.dwconv", blk["dwconv"])
+        sd[f"{t}.text_embed.text_blocks.{i}.norm.weight"] = np.asarray(blk["norm_w"])
+        sd[f"{t}.text_embed.text_blocks.{i}.norm.bias"] = np.asarray(blk["norm_b"])
+        lin(f"{t}.text_embed.text_blocks.{i}.pwconv1", blk["pw1"])
+        sd[f"{t}.text_embed.text_blocks.{i}.grn.gamma"] = np.asarray(blk["grn_gamma"]).reshape(1, 1, -1)
+        sd[f"{t}.text_embed.text_blocks.{i}.grn.beta"] = np.asarray(blk["grn_beta"]).reshape(1, 1, -1)
+        lin(f"{t}.text_embed.text_blocks.{i}.pwconv2", blk["pw2"])
+    lin(f"{t}.input_embed.proj", params["input_embed"]["proj"])
+    conv(f"{t}.input_embed.conv_pos_embed.conv1d.0", params["input_embed"]["conv_pos"]["conv1"])
+    conv(f"{t}.input_embed.conv_pos_embed.conv1d.2", params["input_embed"]["conv_pos"]["conv2"])
+    for i in range(cfg.depth):
+        blk = jax.tree.map(lambda x: x[i], params["blocks"])
+        lin(f"{t}.transformer_blocks.{i}.attn_norm.linear", blk["attn_norm"]["linear"])
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{t}.transformer_blocks.{i}.attn.{nm}", blk["attn"][nm])
+        lin(f"{t}.transformer_blocks.{i}.attn.to_out.0", blk["attn"]["to_out"])
+        lin(f"{t}.transformer_blocks.{i}.ff.ff.0.0", blk["ff"]["in"])
+        lin(f"{t}.transformer_blocks.{i}.ff.ff.2", blk["ff"]["out"])
+    lin(f"{t}.norm_out.linear", params["norm_out"]["linear"])
+    lin(f"{t}.proj_out", params["proj_out"])
+    if cfg.long_skip_connection and "long_skip" in params:
+        lin(f"{t}.long_skip_connection", params["long_skip"])
+    return sd
+
+
+def save_f5_safetensors(path: str, params, cfg: DiTConfig) -> None:
+    """Write an inference checkpoint consumable by the reference
+    (``load_checkpoint`` treats bare safetensors as EMA weights,
+    ``utils_infer.py:196-198``)."""
+    from safetensors.numpy import save_file
+
+    sd = {k: v.astype(np.float32) for k, v in export_f5_state_dict(params, cfg).items()}
+    save_file(sd, path)
+
+
 def load_f5_checkpoint(path: str, cfg: DiTConfig) -> dict:
     return convert_f5_dit(load_torch_state_dict(path), cfg)
 

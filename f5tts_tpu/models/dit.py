@@ -44,6 +44,7 @@ class DiTConfig:
     text_num_embeds: int = 256
     text_dim: int = 512
     conv_layers: int = 4
+    dropout: float = 0.1  # train-time attention/FF dropout (DiTBlock default)
     long_skip_connection: bool = False
     max_pos: int = 4096  # abs-pos/RoPE table horizon (~44 s at 93.75 fps)
     attn_impl: str = "xla"  # "xla" | "flash"
@@ -151,6 +152,7 @@ def dit_forward(
     mask: jnp.ndarray | None = None,  # (b, n) bool
     text_emb: jnp.ndarray | None = None,  # precomputed text embedding
     compute_dtype=jnp.float32,
+    dropout_rng: jax.Array | None = None,  # train-time: enables cfg.dropout
 ) -> jnp.ndarray:
     b, n, _ = x.shape
     if time.ndim == 0:
@@ -169,13 +171,27 @@ def dit_forward(
     if cfg.long_skip_connection:
         residual = h
 
-    def body(carry, blk):
-        out = m.dit_block(
-            blk, carry, t, cfg.heads, freqs, mask, impl=cfg.attn_impl, rope_all_heads=cfg.rope_all_heads
-        )
-        return out, None
+    if dropout_rng is not None and cfg.dropout > 0.0:
+        block_rngs = jax.random.split(dropout_rng, cfg.depth * 2).reshape(cfg.depth, 2, -1)
 
-    h, _ = lax.scan(body, h, params["blocks"])
+        def body(carry, xs):
+            blk, rngs = xs
+            out = m.dit_block(
+                blk, carry, t, cfg.heads, freqs, mask, impl=cfg.attn_impl,
+                rope_all_heads=cfg.rope_all_heads, dropout_rngs=rngs, dropout_rate=cfg.dropout,
+            )
+            return out, None
+
+        h, _ = lax.scan(body, h, (params["blocks"], block_rngs))
+    else:
+
+        def body(carry, blk):
+            out = m.dit_block(
+                blk, carry, t, cfg.heads, freqs, mask, impl=cfg.attn_impl, rope_all_heads=cfg.rope_all_heads
+            )
+            return out, None
+
+        h, _ = lax.scan(body, h, params["blocks"])
 
     if cfg.long_skip_connection:
         h = m.linear(params["long_skip"], jnp.concatenate([h, residual], axis=-1))

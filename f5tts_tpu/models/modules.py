@@ -332,8 +332,20 @@ def init_feed_forward(key, dim: int, mult: int = 4, dim_out: int | None = None):
     return {"in": init_linear(k1, dim, inner), "out": init_linear(k2, inner, dim_out or dim)}
 
 
-def feed_forward(p, x):
-    return linear(p["out"], jax.nn.gelu(linear(p["in"], x), approximate=True))
+def dropout(x, rng, rate: float):
+    """Inverted dropout (train-time only; callers pass rng=None at inference)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def feed_forward(p, x, dropout_rng=None, dropout_rate: float = 0.0):
+    h = jax.nn.gelu(linear(p["in"], x), approximate=True)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # reference FeedForward: Sequential(Linear+GELU, Dropout, Linear)
+        # (modules.py:317-328) — dropout sits between activation and out proj
+        h = dropout(h, dropout_rng, dropout_rate)
+    return linear(p["out"], h)
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +364,8 @@ def init_attention(key, dim: int, heads: int, dim_head: int):
     }
 
 
-def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False):
+def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False,
+              dropout_rng=None, dropout_rate: float = 0.0):
     """Self-attention with the reference's flat-RoPE parity quirk (see ops.rope)."""
     from f5tts_tpu.ops.attention import sdpa_xla
     from f5tts_tpu.ops.rope import apply_rotary_per_head
@@ -397,6 +410,9 @@ def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", r
 
     o = o.transpose(0, 2, 1, 3).reshape(b, n, -1)
     o = linear(p["to_out"], o)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # reference Attention.to_out = [Linear, Dropout] (modules.py:371-373)
+        o = dropout(o, dropout_rng, dropout_rate)
     if mask is not None:
         o = jnp.where(mask[..., None], o, 0.0)
     return o
@@ -416,10 +432,15 @@ def init_dit_block(key, dim: int, heads: int, dim_head: int, ff_mult: int):
     }
 
 
-def dit_block(p, x, t_emb, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False):
+def dit_block(p, x, t_emb, heads: int, rope_freqs=None, mask=None, impl: str = "xla", rope_all_heads: bool = False,
+              dropout_rngs=None, dropout_rate: float = 0.0):
+    attn_rng = ff_rng = None
+    if dropout_rngs is not None:
+        attn_rng, ff_rng = dropout_rngs[0], dropout_rngs[1]
     norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln_zero(p["attn_norm"], x, t_emb)
-    attn_out = attention(p["attn"], norm, heads, rope_freqs, mask, impl, rope_all_heads)
+    attn_out = attention(p["attn"], norm, heads, rope_freqs, mask, impl, rope_all_heads,
+                         dropout_rng=attn_rng, dropout_rate=dropout_rate)
     x = x + gate_msa[:, None] * attn_out
     norm = layer_norm(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-    x = x + gate_mlp[:, None] * feed_forward(p["ff"], norm)
+    x = x + gate_mlp[:, None] * feed_forward(p["ff"], norm, dropout_rng=ff_rng, dropout_rate=dropout_rate)
     return x

@@ -106,6 +106,7 @@ def unett_forward(
     mask: jnp.ndarray | None = None,
     text_emb: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
+    dropout_rng=None,  # accepted for trainer interface parity; dropout not yet applied in this backbone
 ) -> jnp.ndarray:
     b, n, _ = x.shape
     if time.ndim == 0:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 import jax
+import numpy as np
 
 from f5tts_tpu.parallel.mesh import build_mesh
 
@@ -52,3 +53,24 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // n_proc
     pid = jax.process_index()
     return slice(pid * per, (pid + 1) * per)
+
+
+def make_global_batch(local_arrays: dict, mesh, batch_axis: str = "data") -> dict:
+    """Assemble per-host numpy shards into global jax.Arrays sharded over the
+    batch axis (`jax.make_array_from_process_local_data`). Single-process runs
+    pass through unchanged — the trainer calls this unconditionally.
+
+    Every host must call with its own rows of the same global batch (use
+    ``local_batch_slice`` against a seed-synchronized ``pack_batches`` order so
+    all hosts agree on batch composition without communicating).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return {k: jnp.asarray(v) for k, v in local_arrays.items()}
+    sharding = NamedSharding(mesh, P(batch_axis))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in local_arrays.items()
+    }

@@ -344,6 +344,45 @@ def build_app(settings: Settings) -> web.Application:
             }
         )
 
+    async def speech_edit(request: web.Request) -> web.Response:
+        """Span regeneration over an uploaded utterance (speech_edit.py as an
+        API). Multipart: `file` (wav) + form fields `target_text`,
+        `parts` ('start,end;start,end' seconds), optional `fix_durations`,
+        `nfe_step`, `cfg_strength`, `seed`."""
+        check_auth(request)
+        if not service.loaded:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+        form = await request.post()
+        upload = form.get("file")
+        if upload is None or not hasattr(upload, "file"):
+            raise web.HTTPBadRequest(text=json.dumps({"error": "multipart field 'file' (wav) required"}))
+        target_text = str(form.get("target_text", ""))
+        parts_raw = str(form.get("parts", ""))
+        if not target_text or not parts_raw:
+            raise web.HTTPBadRequest(text=json.dumps({"error": "need target_text and parts"}))
+        try:
+            parts = [tuple(float(x) for x in span.split(",")) for span in parts_raw.split(";") if span]
+            fixes_raw = str(form.get("fix_durations", ""))
+            fixes = [float(x) for x in fixes_raw.split(";") if x] or None
+        except ValueError:
+            raise web.HTTPBadRequest(text=json.dumps({"error": "bad parts/fix_durations format"}))
+        if fixes is not None and len(fixes) != len(parts):
+            raise web.HTTPBadRequest(text=json.dumps({"error": "fix_durations must match parts count"}))
+
+        from f5tts_tpu.audio.io import read_wav
+
+        audio, sr = read_wav(upload.file.read())
+
+        def run():
+            return service.engine.speech_edit(
+                audio, sr, target_text, parts, fixes,
+                steps=int(form.get("nfe_step", 32)), cfg_strength=float(form.get("cfg_strength", 2.0)),
+                seed=int(form["seed"]) if form.get("seed") else None,
+            )
+
+        wave, out_sr, _ = await asyncio.get_running_loop().run_in_executor(None, run)
+        return web.Response(body=wav_bytes(wave, out_sr), content_type="audio/wav")
+
     async def metrics(request: web.Request) -> web.Response:
         from f5tts_tpu.utils.profiling import GLOBAL_TIMER
 
@@ -424,6 +463,7 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_post("/v1/audio/speech", speech)
     app.router.add_post("/v1/transcribe/", transcribe)
     app.router.add_post("/v1/speech_to_speech", speech_to_speech)
+    app.router.add_post("/v1/speech_edit", speech_edit)
     app.router.add_get("/v1/health", health)
     app.router.add_get("/v1/metrics", metrics)
     app.router.add_post("/v1/profiler/start", profiler_start)

@@ -7,7 +7,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from f5tts_tpu.models.convert import convert_f5_dit, convert_vocos, strip_ema
+from f5tts_tpu.models.convert import convert_f5_dit, convert_vocos, export_f5_state_dict, strip_ema
 from f5tts_tpu.models.dit import DiTConfig, dit_forward, init_dit
 from f5tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
 
@@ -15,49 +15,6 @@ TINY = DiTConfig(
     dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
     text_num_embeds=30, text_dim=32, conv_layers=2, max_pos=256,
 )
-
-
-def export_f5_state_dict(params, cfg: DiTConfig) -> dict[str, np.ndarray]:
-    """Inverse of convert_f5_dit: write our pytree in the reference's torch
-    key/shape layout (Linear (out,in), Conv1d (out,in/g,k), GRN (1,1,d))."""
-    sd = {}
-
-    def lin(prefix, p):
-        sd[f"{prefix}.weight"] = np.asarray(p["w"]).T
-        if "b" in p:
-            sd[f"{prefix}.bias"] = np.asarray(p["b"])
-
-    def conv(prefix, p):
-        sd[f"{prefix}.weight"] = np.asarray(p["w"]).transpose(2, 1, 0)
-        sd[f"{prefix}.bias"] = np.asarray(p["b"])
-
-    t = "transformer"
-    lin(f"{t}.time_embed.time_mlp.0", params["time_embed"]["mlp1"])
-    lin(f"{t}.time_embed.time_mlp.2", params["time_embed"]["mlp2"])
-    sd[f"{t}.text_embed.text_embed.weight"] = np.asarray(params["text_embed"]["embed"]["w"])
-    for i in range(cfg.conv_layers):
-        blk = jax.tree.map(lambda x: x[i], params["text_embed"]["blocks"])
-        conv(f"{t}.text_embed.text_blocks.{i}.dwconv", blk["dwconv"])
-        sd[f"{t}.text_embed.text_blocks.{i}.norm.weight"] = np.asarray(blk["norm_w"])
-        sd[f"{t}.text_embed.text_blocks.{i}.norm.bias"] = np.asarray(blk["norm_b"])
-        lin(f"{t}.text_embed.text_blocks.{i}.pwconv1", blk["pw1"])
-        sd[f"{t}.text_embed.text_blocks.{i}.grn.gamma"] = np.asarray(blk["grn_gamma"]).reshape(1, 1, -1)
-        sd[f"{t}.text_embed.text_blocks.{i}.grn.beta"] = np.asarray(blk["grn_beta"]).reshape(1, 1, -1)
-        lin(f"{t}.text_embed.text_blocks.{i}.pwconv2", blk["pw2"])
-    lin(f"{t}.input_embed.proj", params["input_embed"]["proj"])
-    conv(f"{t}.input_embed.conv_pos_embed.conv1d.0", params["input_embed"]["conv_pos"]["conv1"])
-    conv(f"{t}.input_embed.conv_pos_embed.conv1d.2", params["input_embed"]["conv_pos"]["conv2"])
-    for i in range(cfg.depth):
-        blk = jax.tree.map(lambda x: x[i], params["blocks"])
-        lin(f"{t}.transformer_blocks.{i}.attn_norm.linear", blk["attn_norm"]["linear"])
-        for nm in ("to_q", "to_k", "to_v"):
-            lin(f"{t}.transformer_blocks.{i}.attn.{nm}", blk["attn"][nm])
-        lin(f"{t}.transformer_blocks.{i}.attn.to_out.0", blk["attn"]["to_out"])
-        lin(f"{t}.transformer_blocks.{i}.ff.ff.0.0", blk["ff"]["in"])
-        lin(f"{t}.transformer_blocks.{i}.ff.ff.2", blk["ff"]["out"])
-    lin(f"{t}.norm_out.linear", params["norm_out"]["linear"])
-    lin(f"{t}.proj_out", params["proj_out"])
-    return sd
 
 
 def test_f5_converter_roundtrip():

@@ -96,6 +96,27 @@ def test_voices_webui_metrics(client):
     assert resp.status == 200 and "stages" in json.loads(body)
 
 
+def test_speech_edit_route(client):
+    import io
+
+    from f5tts_tpu.audio.io import wav_bytes
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+    data = {"file": io.BytesIO(wav_bytes(wav, 24000)), "target_text": "edited words here.",
+            "parts": "0.2,0.5", "nfe_step": "2", "seed": "3"}
+    resp, body = _req(client, "POST", "/v1/speech_edit", data=data)
+    assert resp.status == 200, body
+    from f5tts_tpu.audio.io import read_wav
+
+    out, sr = read_wav(bytes(body))
+    assert sr == 24000 and len(out) > 1000 and np.isfinite(out).all()
+
+    resp, body = _req(client, "POST", "/v1/speech_edit",
+                      data={"file": io.BytesIO(wav_bytes(wav, 24000)), "target_text": "x.", "parts": "garbage"})
+    assert resp.status == 400
+
+
 def test_unload_load_cycle(client):
     resp, _ = _req(client, "POST", "/v1/unload_all_models")
     assert resp.status == 200

@@ -35,6 +35,26 @@ def test_train_step_runs_and_advances():
     assert int(state3["step"]) == 2
 
 
+def test_training_dropout_active_and_deterministic():
+    import dataclasses
+
+    from f5tts_tpu.models.cfm import cfm_loss
+
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, 32, TINY.model.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 18, (2, 10)), jnp.int32)
+    lens = jnp.full((2,), 32, jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    params = init_train_state(jax.random.PRNGKey(0), TINY, TrainConfig())["params"]
+    cfg_nodrop = CFMConfig(model=dataclasses.replace(TINY.model, dropout=0.0))
+    loss_a, _ = cfm_loss(params, TINY, key, mel, text, lens)
+    loss_b, _ = cfm_loss(params, TINY, key, mel, text, lens)
+    loss_c, _ = cfm_loss(params, cfg_nodrop, key, mel, text, lens)
+    assert float(loss_a) == float(loss_b)  # deterministic under the same key
+    assert float(loss_a) != float(loss_c)  # dropout actually perturbs the forward
+
+
 def test_grad_accumulation_matches_manual_average():
     cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100)
     state = init_train_state(jax.random.PRNGKey(0), TINY, cfg)
