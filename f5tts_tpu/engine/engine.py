@@ -65,6 +65,15 @@ def _bucket(v: int, buckets: tuple[int, ...]) -> int:
 
 
 @dataclass
+class RequestPlan:
+    """One request's preprocessed synthesis plan."""
+
+    rows: list["RowSpec"]
+    rms: float
+    cross_fade_duration: float
+
+
+@dataclass
 class RowSpec:
     """One utterance-chunk to synthesize: its own reference voice + duration."""
 
@@ -288,7 +297,7 @@ class TTSEngine:
     # public API
     # ------------------------------------------------------------------
 
-    def synthesize(
+    def prepare_request(
         self,
         gen_text: str,
         ref_audio: np.ndarray,
@@ -301,9 +310,10 @@ class TTSEngine:
         cfg_strength: float | None = None,
         seed: int | None = None,
         cross_fade_duration: float | None = None,
-    ) -> tuple[np.ndarray, int, np.ndarray]:
-        """Full text -> waveform path (parity contract of ``infer_process``,
-        ``utils_infer.py:357-400``): returns (wave, 24000, concat mel)."""
+    ) -> "RequestPlan":
+        """Host-side preprocessing: ref conditioning, chunking, durations ->
+        the RowSpecs to synthesize. Used by both the direct path and the
+        cross-request continuous batcher."""
         cfg = self.cfg
         speed = speed if speed is not None else cfg.speed
         steps = nfe_step if nfe_step is not None else cfg.sampler.steps
@@ -329,25 +339,38 @@ class TTSEngine:
         if not chunks:
             chunks = [gen_text]
 
-        durations = [
-            min(
-                duration_frames(ref_frames, ref_text, c, speed, fix_duration_secs,
-                                cfg.mel.sample_rate, cfg.mel.hop_length),
-                cfg.max_duration,
+        rows = [
+            RowSpec(
+                text=ref_text + c,
+                cond_mel=cond_mel[:ref_frames],
+                ref_frames=ref_frames,
+                duration=min(
+                    duration_frames(ref_frames, ref_text, c, speed, fix_duration_secs,
+                                    cfg.mel.sample_rate, cfg.mel.hop_length),
+                    cfg.max_duration,
+                ),
+                steps=steps, cfg_strength=guidance, seed=seed,
             )
             for c in chunks
         ]
+        return RequestPlan(rows=rows, rms=rms, cross_fade_duration=xfade)
 
-        waves, mels = self.synthesize_batch(
-            chunks, cond_mel[:ref_frames], ref_frames, ref_text, durations,
-            steps=steps, cfg_strength=guidance, seed=seed,
-        )
-        if rms < cfg.target_rms:
-            waves = [w * rms / cfg.target_rms for w in waves]
-
-        final = crossfade_concat(waves, xfade, TARGET_SR)
+    def finalize_request(self, plan: "RequestPlan", results: list[tuple[np.ndarray, np.ndarray]]):
+        """Per-row (wave, mel) results -> (stitched wave, sr, concat mel)."""
+        cfg = self.cfg
+        waves = [w for w, _ in results]
+        mels = [m_ for _, m_ in results]
+        if plan.rms < cfg.target_rms:
+            waves = [w * plan.rms / cfg.target_rms for w in waves]
+        final = crossfade_concat(waves, plan.cross_fade_duration, TARGET_SR)
         combined_mel = np.concatenate(mels, axis=0) if mels else np.zeros((0, cfg.mel.n_mels), np.float32)
         return final, TARGET_SR, combined_mel
+
+    def synthesize(self, gen_text, ref_audio, ref_sr, ref_text, **kw) -> tuple[np.ndarray, int, np.ndarray]:
+        """Full text -> waveform path (parity contract of ``infer_process``,
+        ``utils_infer.py:357-400``): returns (wave, 24000, concat mel)."""
+        plan = self.prepare_request(gen_text, ref_audio, ref_sr, ref_text, **kw)
+        return self.finalize_request(plan, self.synthesize_rows(plan.rows))
 
     def synthesize_streaming(
         self,

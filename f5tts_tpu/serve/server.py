@@ -153,10 +153,15 @@ class ModelService:
         ref_audio, ref_sr, ref_text = self.voices[voice]
         ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
         try:
-            wave, sr, _ = self.engine.synthesize(
+            plan = self.engine.prepare_request(
                 req.effective_text, ref_audio, ref_sr, ref_text,
                 speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
             )
+            # chunk rows go through the continuous batcher so concurrent
+            # requests share batched ODE solves
+            futures = [self.batcher.submit(row) for row in plan.rows]
+            results = [f.result(timeout=600) for f in futures]
+            wave, sr, _ = self.engine.finalize_request(plan, results)
         except web.HTTPException:
             raise
         except Exception as e:

@@ -21,7 +21,7 @@ def test_auto_reload_after_consecutive_failures():
     def broken(*a, **kw):
         raise Boom("device lost")
 
-    service.engine.synthesize = broken
+    service.engine.synthesize_rows = broken
     req = SpeechRequest(text="hello there.")
 
     for expected in (1, 2):
@@ -36,5 +36,5 @@ def test_auto_reload_after_consecutive_failures():
     assert service.failures == 0
     assert service.loaded
     # reloaded engine is a fresh object (the monkeypatched one is gone)
-    assert service.engine.synthesize is not broken
+    assert service.engine.synthesize_rows is not broken
     service.unload()

@@ -117,6 +117,30 @@ def test_speech_edit_route(client):
     assert resp.status == 400
 
 
+def test_concurrent_requests_share_batches(client):
+    c, loop = client
+
+    async def fire(i):
+        resp = await c.request(
+            "POST", "/v1/audio/speech",
+            json={"text": f"concurrent request number {i}.", "nfe_step": 2, "seed": i},
+        )
+        body = await resp.read()
+        return resp.status, body
+
+    async def run_all():
+        return await asyncio.gather(*(fire(i) for i in range(6)))
+
+    results = loop.run_until_complete(run_all())
+    assert all(status == 200 for status, _ in results)
+
+    resp, body = _req(client, "GET", "/v1/metrics")
+    stats = json.loads(body)["batcher"]
+    assert stats["rows"] >= 6
+    # at least one multi-request batch formed (continuous batching active)
+    assert stats["max_batch_seen"] >= 2, stats
+
+
 def test_unload_load_cycle(client):
     resp, _ = _req(client, "POST", "/v1/unload_all_models")
     assert resp.status == 200
