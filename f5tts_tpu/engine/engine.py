@@ -44,7 +44,9 @@ from f5tts_tpu.utils.profiling import GLOBAL_TIMER
 @dataclass(frozen=True)
 class EngineConfig:
     mel: MelConfig = field(default_factory=MelConfig)
+    vocoder_type: str = "vocos"  # "vocos" | "bigvgan" (utils_infer.py:92-130 choice)
     vocoder: VocosConfig = field(default_factory=VocosConfig)
+    bigvgan: "object" = None  # BigVGANConfig when vocoder_type == "bigvgan"
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     duration_buckets: tuple[int, ...] = (256, 512, 768, 1024, 1536, 2048, 3072, 4096)
     batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
@@ -148,6 +150,24 @@ class TTSEngine:
         self.forward_fn = forward_fn
         self.embed_fn = embed_fn
         self._host_rng = np.random.default_rng()
+        if cfg.vocoder_type == "bigvgan":
+            from f5tts_tpu.models.bigvgan import BigVGANConfig, bigvgan_decode
+
+            bcfg = cfg.bigvgan if cfg.bigvgan is not None else BigVGANConfig(mel_dim=cfg.mel.n_mels)
+            self._decode = lambda vp, mel_frames: bigvgan_decode(vp, mel_frames, bcfg, compute_dtype=self.compute_dtype)
+        else:
+            self._decode = lambda vp, mel_frames: vocos_decode(vp, mel_frames, cfg.vocoder, compute_dtype=self.compute_dtype)
+
+    def _wave_samples(self, n_frames: int) -> int:
+        """Samples produced for n mel frames: vocos iSTFT yields (n-1)*hop
+        (center trim); bigvgan's transposed convs yield n*prod(rates)."""
+        if self.cfg.vocoder_type == "bigvgan":
+            from math import prod
+
+            bcfg = self.cfg.bigvgan
+            rate = prod(bcfg.upsample_rates) if bcfg is not None else 256
+            return max(n_frames * rate, 0)
+        return max((n_frames - 1) * self.cfg.mel.hop_length, 0)
 
     # ------------------------------------------------------------------
     # compiled core
@@ -173,7 +193,7 @@ class TTSEngine:
             gen = jnp.take_along_axis(mel_out, idx[..., None], axis=1)
             gen_len = duration - cond_lens
             gen = jnp.where(jnp.arange(n)[None, :, None] < gen_len[:, None, None], gen, 0.0)
-            wave = vocos_decode(vocos_params, gen, vcfg, compute_dtype=self.compute_dtype)
+            wave = self._decode(vocos_params, gen)
             return gen.astype(jnp.float32), wave
 
         return jax.jit(fn)
@@ -196,8 +216,8 @@ class TTSEngine:
                 forward_fn=self.forward_fn, embed_fn=self.embed_fn,
             )
             mel_masked = jnp.where(jnp.arange(n)[None, :, None] < duration[:, None, None], mel_out, 0.0)
-            wave = vocos_decode(vocos_params, mel_masked.astype(jnp.float32), vcfg)
-            return mel_out, wave
+            wave = self._decode(vocos_params, mel_masked)
+            return mel_out.astype(jnp.float32), wave
 
         return jax.jit(fn)
 
@@ -269,7 +289,7 @@ class TTSEngine:
             jnp.asarray(cond), jnp.asarray([n_frames], jnp.int32), jnp.asarray(text_ids),
             jnp.asarray([n_frames], jnp.int32), jnp.asarray(em), jnp.asarray(seeds),
         )
-        wave = np.asarray(wave, np.float32)[0, : (n_frames - 1) * hop]
+        wave = np.asarray(wave, np.float32)[0, : self._wave_samples(n_frames)]
         if rms < cfg.target_rms:
             wave = wave * rms / cfg.target_rms
         return wave, TARGET_SR, np.asarray(mel_out, np.float32)[0, :n_frames]
@@ -512,6 +532,5 @@ class TTSEngine:
                 wave = np.asarray(wave, np.float32)
                 for row, i in enumerate(sub):
                     gen_len = int(dur[row]) - int(cond_lens[row])
-                    n_samples = max((gen_len - 1) * cfg.mel.hop_length, 0)
-                    results[i] = (wave[row, :n_samples], gen_mel[row, :gen_len])
+                    results[i] = (wave[row, : self._wave_samples(gen_len)], gen_mel[row, :gen_len])
         return results  # type: ignore[return-value]

@@ -70,6 +70,25 @@ def irfft_matmul(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     )
 
 
+def stft_complex(
+    wav: jnp.ndarray,  # (b, samples)
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT ``(b, frames, n_freq)`` frame-major (analysis counterpart
+    of :func:`istft`)."""
+    from f5tts_tpu.ops.mel import frame_signal
+
+    window = jnp.asarray(hann_window(win_length), dtype=wav.dtype)
+    if center:
+        pad = n_fft // 2
+        wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
+    frames = frame_signal(wav, n_fft, hop_length) * window
+    return jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+
+
 def istft_reim(
     re: jnp.ndarray,  # (b, T, n_freq)
     im: jnp.ndarray,

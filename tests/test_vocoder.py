@@ -38,6 +38,20 @@ def test_vocos_decode_vs_torch():
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
 
+def test_stft_istft_roundtrip():
+    """Analysis -> synthesis reconstructs the interior of the signal exactly
+    (perfect-reconstruction property of hann/hop=n_fft/4 with envelope div)."""
+    from f5tts_tpu.ops.stft import stft_complex
+
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal((1, 24000)).astype(np.float32) * 0.4
+    spec = stft_complex(jnp.asarray(wav), 1024, 256, 1024, center=True)
+    rec = np.asarray(istft(spec, 1024, 256, 1024, center=True))
+    n = min(rec.shape[1], wav.shape[1])
+    interior = slice(1024, n - 1024)
+    np.testing.assert_allclose(rec[0, interior], wav[0, interior], atol=2e-4)
+
+
 def test_vocos_param_count_real_config():
     # charactr/vocos-mel-24khz is ~13.5M params
     shapes = jax.eval_shape(lambda k: init_vocos(k, VocosConfig()), jax.random.PRNGKey(0))
