@@ -8,7 +8,6 @@ tokenizer and Vocos with the flow engine.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -39,9 +38,13 @@ class ARTTSEngine:
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._cache: dict = {}
 
-    @functools.lru_cache(maxsize=8)
     def _compiled(self, batch: int, max_frames: int):
+        key = (batch, max_frames)
+        if key in self._cache:
+            return self._cache[key]
+
         def fn(ar_params, vocos_params, text):
             mel, lengths = ar_generate(
                 self.ar_params if ar_params is None else ar_params,
@@ -52,7 +55,8 @@ class ARTTSEngine:
                                 compute_dtype=self.compute_dtype)
             return mel, lengths, wave
 
-        return jax.jit(fn)
+        self._cache[key] = jax.jit(fn)
+        return self._cache[key]
 
     def synthesize_batch(self, texts: list[str]) -> list[np.ndarray]:
         b = len(texts)

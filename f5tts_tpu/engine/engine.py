@@ -23,7 +23,6 @@ between cond-mel and waveform is one jit.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -150,6 +149,10 @@ class TTSEngine:
         self.forward_fn = forward_fn
         self.embed_fn = embed_fn
         self._host_rng = np.random.default_rng()
+        # per-instance compile caches (functools.lru_cache on methods would
+        # key on self and pin the engine + compiled graphs across reloads)
+        self._compiled_cache: dict = {}
+        self._edit_cache: dict = {}
         if cfg.vocoder_type == "bigvgan":
             from f5tts_tpu.models.bigvgan import BigVGANConfig, bigvgan_decode
 
@@ -173,13 +176,14 @@ class TTSEngine:
     # compiled core
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=64)
     def _compiled(self, n: int, b: int, nt: int, steps: int, cfg_strength: float):
+        key = (n, b, nt, steps, cfg_strength)
+        if key in self._compiled_cache:
+            return self._compiled_cache[key]
         sampler = SamplerConfig(
             steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
             method=self.cfg.sampler.method,
         )
-        vcfg = self.cfg.vocoder
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
             mel_out = sample_cfm(
@@ -196,17 +200,19 @@ class TTSEngine:
             wave = self._decode(vocos_params, gen)
             return gen.astype(jnp.float32), wave
 
-        return jax.jit(fn)
+        self._compiled_cache[key] = jax.jit(fn)
+        return self._compiled_cache[key]
 
-    @functools.lru_cache(maxsize=16)
     def _compiled_edit(self, n: int, steps: int, cfg_strength: float):
         """Speech-edit path: batch-1, edit-mask conditioned, decodes the FULL
         utterance (not just the generated tail)."""
+        key = (n, steps, cfg_strength)
+        if key in self._edit_cache:
+            return self._edit_cache[key]
         sampler = SamplerConfig(
             steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
             method=self.cfg.sampler.method,
         )
-        vcfg = self.cfg.vocoder
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, seeds):
             mel_out = sample_cfm(
@@ -219,7 +225,8 @@ class TTSEngine:
             wave = self._decode(vocos_params, mel_masked)
             return mel_out.astype(jnp.float32), wave
 
-        return jax.jit(fn)
+        self._edit_cache[key] = jax.jit(fn)
+        return self._edit_cache[key]
 
     def speech_edit(
         self,

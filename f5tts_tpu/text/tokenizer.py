@@ -90,8 +90,9 @@ class Tokenizer:
         """``(b, nt) int32`` id batch, padded with -1."""
         token_lists = convert_char_to_pinyin(texts) if pinyin else [list(t) for t in texts]
         ids = [[self.vocab_char_map.get(c, 0) for c in toks] for toks in token_lists]
-        max_len = pad_to if pad_to is not None else max((len(r) for r in ids), default=1)
-        batch = np.full((len(ids), max(max_len, 1)), -1, dtype=np.int32)
+        max_len = max(pad_to if pad_to is not None else max((len(r) for r in ids), default=1), 1)
+        batch = np.full((len(ids), max_len), -1, dtype=np.int32)
         for i, row in enumerate(ids):
-            batch[i, : len(row)] = row[:max_len]
+            m = min(len(row), max_len)  # curtail over-long rows (model curtails to mel len anyway)
+            batch[i, :m] = row[:m]
         return batch
