@@ -90,10 +90,19 @@ def flash_attention(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     b, h, n, d = q.shape
-    block_q = min(block_q, n)
-    block_k = min(block_k, n)
-    if n % block_q or n % block_k:
-        # bucketed engine shapes are multiples of 256; fall back otherwise
+    # adapt blocks to the bucket: largest candidate that divides n (e.g. the
+    # 768/1536 buckets use 256/384-wide tiles instead of falling back to XLA)
+    if n % block_q:
+        block_q = next((c for c in (512, 384, 256, 128) if c <= n and n % c == 0), None)
+    else:
+        block_q = min(block_q, n)
+    if n <= 1024:
+        block_k = n
+    elif n % block_k:
+        block_k = next((c for c in (1024, 768, 512, 384, 256) if n % c == 0), None)
+    else:
+        block_k = min(block_k, n)
+    if block_q is None or block_k is None or n % 128:
         from f5tts_tpu.ops.attention import sdpa_xla
 
         return sdpa_xla(q, k, v, key_mask)

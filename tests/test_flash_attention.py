@@ -34,6 +34,20 @@ def test_flash_attention_matches_sdpa(with_mask):
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("n", [768, 1536])
+def test_flash_attention_odd_buckets(n):
+    rng = np.random.default_rng(2)
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    m = np.ones((b, n), bool)
+    m[0, n - 100 :] = False
+    out = flash_attention(q, q, q, jnp.asarray(m), interpret=True)
+    ref = sdpa_xla(q, q, q, jnp.asarray(m))
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :, : n - 100], np.asarray(ref)[0, :, : n - 100], atol=2e-5, rtol=1e-5
+    )
+
+
 def test_flash_attention_odd_length_falls_back():
     rng = np.random.default_rng(1)
     b, h, n, d = 1, 2, 300, 64  # 300 not divisible by blocks -> xla fallback
