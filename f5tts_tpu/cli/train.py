@@ -25,7 +25,30 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--save-every", type=int, default=10000)
     p.add_argument("--smoke", action="store_true", help="tiny model + synthetic data, a few steps")
+    p.add_argument("--train-config", default="", help="YAML training config (configs/*.yaml); flags override")
     args = p.parse_args(argv)
+
+    if args.train_config:
+        import yaml
+
+        with open(args.train_config, encoding="utf-8") as f:
+            ycfg = yaml.safe_load(f)
+        defaults = {a.dest: a.default for a in p._actions}
+        mapping = {
+            "model": ycfg.get("model", {}).get("name"),
+            "vocab_file": ycfg.get("model", {}).get("vocab_file"),
+            "learning_rate": ycfg.get("optim", {}).get("learning_rate"),
+            "warmup_updates": ycfg.get("optim", {}).get("warmup_updates"),
+            "total_updates": ycfg.get("optim", {}).get("total_updates"),
+            "batch_frames": ycfg.get("optim", {}).get("batch_frames"),
+            "max_samples": ycfg.get("optim", {}).get("max_samples"),
+            "checkpoint_dir": ycfg.get("ckpts", {}).get("checkpoint_dir"),
+            "save_every": ycfg.get("ckpts", {}).get("save_every"),
+            "log_every": ycfg.get("ckpts", {}).get("log_every"),
+        }
+        for dest, val in mapping.items():
+            if val not in (None, "") and getattr(args, dest) == defaults.get(dest):
+                setattr(args, dest, val)
 
     import jax
 
