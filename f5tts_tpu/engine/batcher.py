@@ -19,6 +19,10 @@ from dataclasses import dataclass, field
 from f5tts_tpu.engine.engine import RowSpec, TTSEngine
 
 
+class OverloadedError(RuntimeError):
+    """Raised to callers when the batcher queue is at capacity (maps to 503)."""
+
+
 @dataclass
 class _Job:
     row: RowSpec
@@ -28,10 +32,12 @@ class _Job:
 class ContinuousBatcher:
     """Thread-based micro-batching worker over ``TTSEngine.synthesize_rows``."""
 
-    def __init__(self, engine: TTSEngine, max_batch: int = 32, max_wait_ms: float = 15.0):
+    def __init__(self, engine: TTSEngine, max_batch: int = 32, max_wait_ms: float = 15.0,
+                 max_queue: int = 256):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.max_queue = max_queue
         self._jobs: list[_Job] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -55,6 +61,10 @@ class ContinuousBatcher:
     def submit(self, row: RowSpec) -> Future:
         job = _Job(row)
         with self._lock:
+            if len(self._jobs) >= self.max_queue:
+                # overload protection: shed load instead of growing unboundedly
+                job.future.set_exception(OverloadedError(f"batcher queue full ({self.max_queue})"))
+                return job.future
             self._jobs.append(job)
         self._wake.set()
         return job.future

@@ -165,6 +165,10 @@ class ModelService:
         except web.HTTPException:
             raise
         except Exception as e:
+            from f5tts_tpu.engine.batcher import OverloadedError
+
+            if isinstance(e, OverloadedError):  # load shedding, not a model fault
+                raise web.HTTPServiceUnavailable(text=json.dumps({"error": str(e)}))
             self._record_failure(e)
             raise web.HTTPInternalServerError(text=json.dumps({"error": f"synthesis failed: {e}"}))
         with self._fail_lock:
