@@ -86,7 +86,7 @@ def main(argv=None):
         model_cfg, train_cfg, mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         checkpoint_dir=args.checkpoint_dir, log_every=args.log_every, save_every=args.save_every,
-        logger=lambda **kw: print(json.dumps(kw)),
+        logger=lambda **kw: print(json.dumps(kw), flush=True),
     )
     state, start = trainer.init_or_resume()
 
@@ -106,7 +106,8 @@ def main(argv=None):
         batch_frames=args.batch_frames, max_samples=args.max_samples,
         seed=args.seed, skip_batches=start,
     )
-    trainer.fit(state, batches)
+    # batches() is an infinite epoch iterator — the update budget is the stop
+    trainer.fit(state, batches, total_updates=max(args.total_updates - start, 0))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ class JsonlLogger:
         if self._f:
             self._f.write(line + "\n")
         if self.echo:
-            print(line)
+            print(line, flush=True)
 
     def close(self):
         if self._f:
