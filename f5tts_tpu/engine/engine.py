@@ -65,6 +65,18 @@ def _bucket(v: int, buckets: tuple[int, ...]) -> int:
     return buckets[-1]
 
 
+def _ref_mel(wav: np.ndarray, mel_cfg: MelConfig) -> np.ndarray:
+    """Log-mel of a reference clip, with the sample count padded to a 32768
+    bucket so XLA compiles the mel graph a bounded number of times instead of
+    once per distinct reference length."""
+    n = len(wav)
+    padded = ((n + 32767) // 32768) * 32768
+    frames = n // mel_cfg.hop_length
+    wav = np.pad(wav, (0, padded - n))
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), mel_cfg))[0]
+    return mel[:frames]
+
+
 @dataclass
 class RequestPlan:
     """One request's preprocessed synthesis plan."""
@@ -281,7 +293,7 @@ class TTSEngine:
         nb = _bucket(min(n_frames, cfg.max_duration), cfg.duration_buckets)
         n_frames = min(n_frames, nb)  # max_duration clamp (cfm.py:137)
         edit_mask = edit_mask[:n_frames]
-        cond_mel = np.asarray(log_mel_spectrogram(jnp.asarray(edited[None]), cfg.mel))[0][:n_frames]
+        cond_mel = _ref_mel(edited, cfg.mel)[:n_frames]
 
         cond = np.zeros((1, nb, cfg.mel.n_mels), np.float32)
         cond[0, :n_frames] = cond_mel
@@ -358,8 +370,8 @@ class TTSEngine:
         if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
             ref_text = ref_text + " "
 
-        cond_mel = np.asarray(log_mel_spectrogram(jnp.asarray(ref_audio[None]), cfg.mel))[0]
         ref_frames = len(ref_audio) // cfg.mel.hop_length
+        cond_mel = _ref_mel(ref_audio, cfg.mel)
 
         # --- chunking (utils_infer.py:376-378)
         chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs), 1))
@@ -432,8 +444,8 @@ class TTSEngine:
         ref_secs = len(ref_audio) / TARGET_SR
         if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
             ref_text = ref_text + " "
-        cond_mel = np.asarray(log_mel_spectrogram(jnp.asarray(ref_audio[None]), cfg.mel))[0]
         ref_frames = len(ref_audio) // cfg.mel.hop_length
+        cond_mel = _ref_mel(ref_audio, cfg.mel)
 
         chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs), 1)) or [gen_text]
 
