@@ -10,16 +10,24 @@ implementation of the generator topology for that config:
   (``x + (1/(b+eps)) sin^2(a x)`` with log-scale alpha/beta), conv_post k=7,
   tanh.
 
-Deviation, documented: BigVGAN-v2's anti-aliased activation (2x up/downsample
-low-pass around each snake) is omitted — activations apply directly. Weight
-conversion therefore targets v1-style checkpoints exactly and v2 checkpoints
-approximately. Transposed convs are expressed with
-``lax.conv_transpose`` (XLA lowers them onto the MXU as strided convs).
+Every snake is anti-aliased (``Activation1d``): 2x Kaiser-windowed-sinc
+upsample -> snake at the doubled rate -> 2x low-pass downsample, so the
+``sin^2`` harmonics above Nyquist are filtered instead of aliasing back into
+band. Here the fixed 12-tap resampling filters are baked in as *polyphase
+shifted-slice sums* (static slices + weighted adds, which XLA fuses into the
+surrounding elementwise ops) rather than grouped/transposed convs — the
+depthwise form can't use the MXU anyway and grouped convs misbehave under
+GSPMD (see models/modules.py:conv1d). Main transposed convs are expressed
+with ``lax.conv_transpose`` (XLA lowers them onto the MXU as strided convs).
+Set ``anti_aliased=False`` for plain (v1-kernel-free) snake behavior.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +44,71 @@ class BigVGANConfig:
     upsample_kernel_sizes: tuple[int, ...] = (8, 8, 4, 4, 4, 4)
     resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
     resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    anti_aliased: bool = True
 
 
 def _snake_beta(x, alpha_log, beta_log):
     a = jnp.exp(alpha_log.astype(x.dtype))
     b = jnp.exp(beta_log.astype(x.dtype))
     return x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(a * x))
+
+
+# --- alias-free activation plumbing -----------------------------------------
+# BigVGAN's Activation1d = UpSample1d(2) -> act -> DownSample1d(2) with a
+# Kaiser-windowed sinc low-pass (cutoff 0.25, transition half-width 0.3,
+# 12 taps for ratio 2). The filter is a fixed buffer, not a learned weight.
+
+_AA_RATIO = 2
+_AA_TAPS = 12  # int(6 * ratio // 2) * 2
+
+
+def _kaiser_sinc_filter(cutoff: float, half_width: float, taps: int) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass, normalized to unit DC gain."""
+    half_size = taps // 2
+    delta_f = 4.0 * half_width
+    attenuation = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if attenuation > 50.0:
+        beta = 0.1102 * (attenuation - 8.7)
+    elif attenuation >= 21.0:
+        beta = 0.5842 * (attenuation - 21.0) ** 0.4 + 0.07886 * (attenuation - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(taps, beta)
+    time = np.arange(taps) - half_size + (0.5 if taps % 2 == 0 else 0.0)
+    f = 2.0 * cutoff * window * np.sinc(2.0 * cutoff * time)
+    return (f / f.sum()).astype(np.float32)
+
+
+_AA_FILTER = _kaiser_sinc_filter(0.5 / _AA_RATIO, 0.6 / _AA_RATIO, _AA_TAPS)
+
+
+def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, n, c) -> (b, 2n, c) sinc interpolation.
+
+    Polyphase form of replicate-pad(5) -> conv_transpose(stride 2, 12 taps,
+    gain 2) -> crop 15/15: each output parity is a 6-tap FIR over the padded
+    input, interleaved.
+    """
+    b, n, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (5, 5), (0, 0)), mode="edge")
+    f = 2.0 * _AA_FILTER
+    even = sum(float(f[e]) * xp[:, (15 - e) // 2 : (15 - e) // 2 + n] for e in range(1, _AA_TAPS, 2))
+    odd = sum(float(f[e]) * xp[:, (16 - e) // 2 : (16 - e) // 2 + n] for e in range(0, _AA_TAPS, 2))
+    return jnp.stack([even, odd], axis=2).reshape(b, 2 * n, c)
+
+
+def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, 2n, c) -> (b, n, c) low-pass decimation (replicate pad 5/6, stride 2)."""
+    n2 = x.shape[1]
+    n = n2 // 2
+    xp = jnp.pad(x, ((0, 0), (5, 6), (0, 0)), mode="edge")
+    return sum(float(_AA_FILTER[e]) * xp[:, e : e + 2 * n : 2] for e in range(_AA_TAPS))
+
+
+def _act(x, alpha_log, beta_log, anti_aliased: bool):
+    if not anti_aliased:
+        return _snake_beta(x, alpha_log, beta_log)
+    return _downsample2(_snake_beta(_upsample2(x), alpha_log, beta_log))
 
 
 def _init_amp_block(key, ch: int, k: int, dilations):
@@ -81,12 +148,12 @@ def init_bigvgan(key: jax.Array, cfg: BigVGANConfig = BigVGANConfig()):
     return params
 
 
-def _amp_block(p, x, k: int, dilations):
+def _amp_block(p, x, k: int, dilations, anti_aliased: bool):
     for i, dil in enumerate(dilations):
-        h = _snake_beta(x, p["alpha1"][i], p["beta1"][i])
+        h = _act(x, p["alpha1"][i], p["beta1"][i], anti_aliased)
         pad = (k - 1) * dil // 2
         h = m.conv1d(p["convs1"][i], h, padding=pad, dilation=dil)
-        h = _snake_beta(h, p["alpha2"][i], p["beta2"][i])
+        h = _act(h, p["alpha2"][i], p["beta2"][i], anti_aliased)
         h = m.conv1d(p["convs2"][i], h, padding=(k - 1) // 2)
         x = x + h
     return x
@@ -112,10 +179,10 @@ def bigvgan_decode(params, mel: jnp.ndarray, cfg: BigVGANConfig = BigVGANConfig(
         x = _conv_transpose1d(params["ups"][i], x, r, k)
         acc = None
         for j, rk in enumerate(cfg.resblock_kernel_sizes):
-            y = _amp_block(params["resblocks"][i][j], x, rk, cfg.resblock_dilations[j])
+            y = _amp_block(params["resblocks"][i][j], x, rk, cfg.resblock_dilations[j], cfg.anti_aliased)
             acc = y if acc is None else acc + y
         x = acc / len(cfg.resblock_kernel_sizes)
-    x = _snake_beta(x, params["alpha_post"], params["beta_post"])
+    x = _act(x, params["alpha_post"], params["beta_post"], cfg.anti_aliased)
     x = m.conv1d(params["conv_post"], x, padding=3)
     return jnp.clip(jnp.tanh(x[..., 0]), -1.0, 1.0)
 

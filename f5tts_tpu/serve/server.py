@@ -31,6 +31,7 @@ from aiohttp import web
 from f5tts_tpu.audio.io import read_wav, wav_bytes
 from f5tts_tpu.audio.preprocess import clip_ref_audio, ensure_sentence_punctuation
 from f5tts_tpu.serve.schemas import SpeechRequest
+from f5tts_tpu.text.chunker import split_style_segments
 from f5tts_tpu.utils.config import Settings, load_deployment_config, parse_arguments, parse_rate_limit
 
 log = logging.getLogger("f5tpu.serve")
@@ -150,18 +151,30 @@ class ModelService:
         voice = req.voice or next(iter(self.voices))
         if voice not in self.voices:
             raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
-        ref_audio, ref_sr, ref_text = self.voices[voice]
-        ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
+        # multi-style: `{Style}` / `[voice]` tags in the text switch the
+        # reference voice per segment (gradio multi-style contract,
+        # infer/infer_gradio.py:317-499); tagless text is one segment
+        segments = split_style_segments(req.effective_text, self.voices, default=voice)
         try:
-            plan = self.engine.prepare_request(
-                req.effective_text, ref_audio, ref_sr, ref_text,
-                speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
-            )
+            plans = []
+            for seg_voice, seg_text in segments:
+                ref_audio, ref_sr, ref_text = self.voices[seg_voice]
+                if seg_voice == voice and req.ref_text:
+                    ref_text = req.ref_text
+                ref_text = ensure_sentence_punctuation(ref_text)
+                plans.append(self.engine.prepare_request(
+                    seg_text, ref_audio, ref_sr, ref_text,
+                    speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
+                ))
             # chunk rows go through the continuous batcher so concurrent
-            # requests share batched ODE solves
-            futures = [self.batcher.submit(row) for row in plan.rows]
-            results = [f.result(timeout=600) for f in futures]
-            wave, sr, _ = self.engine.finalize_request(plan, results)
+            # requests (and segments) share batched ODE solves
+            futures = [[self.batcher.submit(row) for row in plan.rows] for plan in plans]
+            waves = []
+            for plan, fs in zip(plans, futures):
+                results = [f.result(timeout=600) for f in fs]
+                seg_wave, sr, _ = self.engine.finalize_request(plan, results)
+                waves.append(seg_wave)
+            wave = waves[0] if len(waves) == 1 else np.concatenate(waves)
         except web.HTTPException:
             raise
         except Exception as e:

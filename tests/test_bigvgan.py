@@ -1,11 +1,20 @@
-"""BigVGAN generator: shape/upsampling contract and finiteness."""
+"""BigVGAN generator: shape/upsampling contract, finiteness, alias-free activation."""
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from f5tts_tpu.models.bigvgan import BigVGANConfig, bigvgan_decode, init_bigvgan
+from f5tts_tpu.models.bigvgan import (
+    _AA_FILTER,
+    BigVGANConfig,
+    _act,
+    _downsample2,
+    _snake_beta,
+    _upsample2,
+    bigvgan_decode,
+    init_bigvgan,
+)
 
 
 def test_engine_with_bigvgan_vocoder():
@@ -51,3 +60,65 @@ def test_bigvgan_shapes_and_finite():
     assert wave.shape == (2, 16 * 4 * 4 * 2 * 2)
     assert bool(jnp.isfinite(wave).all())
     assert float(jnp.abs(wave).max()) <= 1.0
+
+
+def _torch_activation1d(x_np, alpha_log, beta_log):
+    """Independent torch reference for BigVGAN's alias-free Activation1d:
+    replicate-pad(5) -> 2x conv_transpose(12-tap kaiser-sinc, gain 2) ->
+    crop 15/15 -> snake-beta -> replicate-pad(5,6) -> stride-2 low-pass."""
+    import torch
+    import torch.nn.functional as F
+
+    x = torch.tensor(x_np)  # (b, c, n)
+    c = x.shape[1]
+    f = torch.tensor(_AA_FILTER, dtype=torch.float64).view(1, 1, -1).expand(c, 1, -1)
+    x = x.double()
+    xp = F.pad(x, (5, 5), mode="replicate")
+    up = 2.0 * F.conv_transpose1d(xp, f, stride=2, groups=c)
+    up = up[..., 15:-15]
+    a = torch.tensor(np.exp(alpha_log), dtype=torch.float64).view(1, -1, 1)
+    b = torch.tensor(np.exp(beta_log), dtype=torch.float64).view(1, -1, 1)
+    y = up + (1.0 / (b + 1e-9)) * torch.sin(a * up) ** 2
+    yp = F.pad(y, (5, 6), mode="replicate")
+    return F.conv1d(yp, f, stride=2, groups=c).numpy()
+
+
+def test_anti_aliased_activation_matches_torch_semantics():
+    rng = np.random.default_rng(7)
+    b, n, c = 2, 37, 5
+    x = rng.standard_normal((b, n, c)).astype(np.float32)
+    alpha_log = rng.standard_normal(c).astype(np.float32) * 0.3
+    beta_log = rng.standard_normal(c).astype(np.float32) * 0.3
+
+    ours = np.asarray(_act(jnp.asarray(x), jnp.asarray(alpha_log), jnp.asarray(beta_log), True))
+    ref = _torch_activation1d(np.transpose(x, (0, 2, 1)), alpha_log, beta_log)
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 1)), rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_downsample_roundtrip_on_bandlimited_signal():
+    # A signal well below Nyquist should survive 2x up + 2x down nearly intact
+    # (away from the replicate-padded edges).
+    t = np.arange(256, dtype=np.float32)
+    x = np.sin(2 * np.pi * 0.05 * t).reshape(1, -1, 1)
+    y = np.asarray(_downsample2(_upsample2(jnp.asarray(x))))
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y[0, 16:-16, 0], x[0, 16:-16, 0], atol=2e-3)
+
+
+def test_anti_aliasing_attenuates_snake_harmonics():
+    # Near-Nyquist tone: snake's sin^2 doubles the frequency past Nyquist.
+    # Direct snake aliases that energy back in-band; the AA path filters it.
+    t = np.arange(512, dtype=np.float32)
+    freq = 0.35  # sin^2 harmonic at 0.7 > 0.5 Nyquist -> aliases to 0.3
+    x = jnp.asarray(np.sin(2 * np.pi * freq * t).reshape(1, -1, 1), jnp.float32)
+    zero = jnp.zeros((1,), jnp.float32)
+
+    def alias_energy(y):
+        spec = np.abs(np.fft.rfft(np.asarray(y)[0, 64:-64, 0] - np.mean(np.asarray(y)[0, 64:-64, 0])))
+        freqs = np.fft.rfftfreq(len(np.asarray(y)[0, 64:-64, 0]))
+        band = (freqs > 0.27) & (freqs < 0.33)  # the aliased image of 2*0.35
+        return float(spec[band].max())
+
+    direct = _snake_beta(x, zero, zero)
+    aa = _act(x, zero, zero, True)
+    assert alias_energy(aa) < 0.35 * alias_energy(direct)

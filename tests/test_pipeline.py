@@ -121,3 +121,39 @@ def test_engine_end_to_end_smoke():
     # determinism with a fixed seed
     wave2, _, _ = engine.synthesize("hello world. this is a test.", ref, 24000, "a ref text.", seed=3)
     np.testing.assert_allclose(wave, wave2, atol=1e-6)
+
+
+# --- multi-style segment parsing (infer_gradio.py:317-499 / infer_cli.py:182-204)
+
+
+def test_split_style_segments_basic():
+    from f5tts_tpu.text.chunker import split_style_segments
+
+    voices = ["default", "Happy", "sad"]
+    segs = split_style_segments(
+        "Hello there. {Happy} Great news! {Regular} Back to normal. [sad] oh no.",
+        voices, default="default",
+    )
+    assert segs == [
+        ("default", "Hello there."),
+        ("Happy", "Great news!"),
+        ("default", "Back to normal."),
+        ("sad", "oh no."),
+    ]
+
+
+def test_split_style_segments_unknown_tag_left_verbatim():
+    from f5tts_tpu.text.chunker import split_style_segments
+
+    segs = split_style_segments("The [bracketed] word stays.", ["default"], default="default")
+    assert segs == [("default", "The [bracketed] word stays.")]
+    # case-insensitive resolution, consecutive same-voice runs merge
+    segs = split_style_segments("{HAPPY} one. {happy} two.", ["Happy"], default="d")
+    assert segs == [("Happy", "one. two.")]
+
+
+def test_split_style_segments_tagless_and_empty():
+    from f5tts_tpu.text.chunker import split_style_segments
+
+    assert split_style_segments("plain text.", ["v"], default="v") == [("v", "plain text.")]
+    assert split_style_segments("", ["v"], default="v") == [("v", "")]

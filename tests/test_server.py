@@ -150,3 +150,26 @@ def test_unload_load_cycle(client):
     assert resp.status == 200
     resp, _ = _req(client, "POST", "/v1/audio/speech", json={"text": "hi again.", "nfe_step": 2})
     assert resp.status == 200
+
+
+def test_multistyle_speech(client):
+    # {default} resolves to the built-in voice; {Regular} maps to the request
+    # default; unknown bracketed words stay verbatim in the text
+    resp, body = _req(
+        client, "POST", "/v1/audio/speech",
+        json={"text": "First part. {default} second part [not a voice]. {Regular} third.",
+              "nfe_step": 2, "seed": 9},
+    )
+    assert resp.status == 200
+    from f5tts_tpu.audio.io import read_wav
+
+    wav, sr = read_wav(bytes(body))
+    assert sr == 24000 and len(wav) > 1000 and np.isfinite(wav).all()
+
+    # single-segment output for comparison: multi-style concat is longer
+    resp2, body2 = _req(
+        client, "POST", "/v1/audio/speech",
+        json={"text": "First part.", "nfe_step": 2, "seed": 9},
+    )
+    wav2, _ = read_wav(bytes(body2))
+    assert len(wav) > len(wav2)
