@@ -7,12 +7,43 @@ from __future__ import annotations
 import argparse
 import json
 
+MODEL_NAMES = ("F5TTS_Base", "F5TTS_Small", "E2TTS_Base", "E2TTS_Small", "demo_tiny")
+
+
+def resolve_model_cfg(name: str, vocab_file: str = ""):
+    """Model registry (``infer/infer_cli.py:134-159`` + ``configs/*.yaml``):
+    F5TTS_* -> DiT, E2TTS_* -> UNetT; vocab size from the vocab file."""
+    from f5tts_tpu.models.cfm import CFMConfig
+    from f5tts_tpu.models.dit import DiTConfig
+    from f5tts_tpu.models.unett import UNetTConfig
+
+    if name == "demo_tiny":
+        return CFMConfig(
+            model=DiTConfig(
+                dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+                text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=512,
+            )
+        )
+    registry = {
+        "F5TTS_Base": DiTConfig.base,
+        "F5TTS_Small": DiTConfig.small,
+        "E2TTS_Base": UNetTConfig.base,
+        "E2TTS_Small": UNetTConfig.small,
+    }
+    base = registry[name]()
+    if vocab_file:
+        from f5tts_tpu.text.tokenizer import Tokenizer
+
+        vocab_size = Tokenizer.from_file(vocab_file).vocab_size
+        base = type(base)(**{**base.__dict__, "text_num_embeds": vocab_size})
+    return CFMConfig(model=base)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser("f5tpu-train")
     p.add_argument("--dataset-dir", default="", help="dir with {mel .npy, text .txt} pairs or a manifest.jsonl")
     p.add_argument("--vocab-file", default="")
-    p.add_argument("--model", default="F5TTS_Base", choices=["F5TTS_Base", "F5TTS_Small", "demo_tiny"])
+    p.add_argument("--model", default="F5TTS_Base", choices=list(MODEL_NAMES))
     p.add_argument("--checkpoint-dir", default="ckpts/run0")
     p.add_argument("--learning-rate", type=float, default=7.5e-5)
     p.add_argument("--warmup-updates", type=int, default=20000)
@@ -57,24 +88,11 @@ def main(argv=None):
     enable_compilation_cache()
     import jax.numpy as jnp
 
-    from f5tts_tpu.models.cfm import CFMConfig
-    from f5tts_tpu.models.dit import DiTConfig
     from f5tts_tpu.parallel.mesh import build_mesh
     from f5tts_tpu.train.trainer import TrainConfig, Trainer
 
-    if args.smoke or args.model == "demo_tiny":
-        model_cfg = CFMConfig(
-            model=DiTConfig(
-                dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
-                text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=512,
-            )
-        )
-    else:
-        base = DiTConfig.base() if args.model == "F5TTS_Base" else DiTConfig.small()
-        from f5tts_tpu.text.tokenizer import Tokenizer
-
-        vocab_size = Tokenizer.from_file(args.vocab_file).vocab_size if args.vocab_file else base.text_num_embeds
-        model_cfg = CFMConfig(model=DiTConfig(**{**base.__dict__, "text_num_embeds": vocab_size}))
+    name = "demo_tiny" if args.smoke else args.model
+    model_cfg = resolve_model_cfg(name, args.vocab_file if name != "demo_tiny" else "")
 
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate, warmup_updates=args.warmup_updates,

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 import jax
 import jax.numpy as jnp
 
-from f5tts_tpu.models.dit import DiTConfig, dit_forward
+from f5tts_tpu.models.dit import DiTConfig
 from f5tts_tpu.ops.masks import lens_to_mask, mask_from_frac_lengths
 from f5tts_tpu.ops.mel import MelConfig
 
@@ -44,9 +44,17 @@ def cfm_loss(
     text: jnp.ndarray,  # (b, nt) int ids, pad -1
     lens: jnp.ndarray,  # (b,) valid frames per row
     compute_dtype=jnp.float32,
-    forward_fn=dit_forward,
+    forward_fn=None,
 ):
-    """Returns (loss, aux dict). Pure; wrap in jax.value_and_grad."""
+    """Returns (loss, aux dict). Pure; wrap in jax.value_and_grad.
+
+    ``forward_fn`` defaults to the backbone matching ``cfg.model``'s type
+    (DiT / UNetT / MMDiT all share the apply signature).
+    """
+    if forward_fn is None:
+        from f5tts_tpu.models import backbone_fns
+
+        forward_fn = backbone_fns(cfg.model)[1]
     b, n, _ = mel.shape
     k_frac, k_span, k_x0, k_t, k_drop1, k_drop2, k_dropout = jax.random.split(key, 7)
 

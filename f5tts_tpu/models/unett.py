@@ -43,6 +43,11 @@ class UNetTConfig:
         """E2-TTS Base: 333.2M params (`infer/infer_cli.py:153`)."""
         return UNetTConfig()
 
+    @staticmethod
+    def small() -> "UNetTConfig":
+        """E2-TTS Small (`configs/E2TTS_Small_train.yaml`)."""
+        return UNetTConfig(dim=768, depth=20, heads=12, dim_head=64, ff_mult=4)
+
 
 def _init_half_block(key, cfg: UNetTConfig, with_skip: bool):
     ks = jax.random.split(key, 5)

@@ -1,4 +1,4 @@
-"""Partition rules: DiT parameter pytrees -> PartitionSpecs on ('data', 'model').
+"""Partition rules: backbone parameter pytrees -> PartitionSpecs on ('data', 'model').
 
 Megatron-style tensor parallelism for the transformer blocks (the reference has
 no TP at all — SURVEY §2.4): QKV and FF-in are column-parallel (shard the
@@ -15,11 +15,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def dit_param_specs(params) -> dict:
-    """Spec pytree matching ``init_dit``'s structure."""
+    """Spec pytree matching a backbone's structure (DiT ``blocks`` stack or
+    UNetT ``first_half``/``second_half`` stacks); keyed on the shared module
+    names ``attn``/``ff``/``to_out``/``in``."""
 
     def spec_for(path: tuple[str, ...], leaf) -> P:
         keys = [getattr(p, "key", None) for p in path]
-        stacked = "blocks" in keys and "text_embed" not in keys
+        stacked = (
+            any(k in keys for k in ("blocks", "first_half", "second_half"))
+            and "text_embed" not in keys
+        )
         ndim = leaf.ndim
 
         def with_depth(*s):

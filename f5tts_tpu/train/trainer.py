@@ -23,7 +23,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from f5tts_tpu.models.cfm import CFMConfig, cfm_loss
-from f5tts_tpu.models.dit import init_dit
 from f5tts_tpu.parallel.sharding import dit_param_specs
 from f5tts_tpu.train.ema import EMAConfig, ema_init, ema_update
 
@@ -112,7 +111,9 @@ def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=
 
 
 def init_train_state(key, model_cfg: CFMConfig, train_cfg: TrainConfig):
-    params = init_dit(key, model_cfg.model)
+    from f5tts_tpu.models import backbone_fns
+
+    params = backbone_fns(model_cfg.model)[0](key, model_cfg.model)
     optimizer = make_optimizer(train_cfg)
     return {
         "params": params,

@@ -112,3 +112,24 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_param_specs_cover_unett_tree():
+    """TP partition rules apply to UNetT's first/second-half stacks too."""
+    from jax.sharding import PartitionSpec as P
+
+    from f5tts_tpu.models.unett import UNetTConfig, init_unett
+    from f5tts_tpu.parallel.sharding import dit_param_specs
+
+    params = init_unett(
+        jax.random.PRNGKey(0),
+        UNetTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                    text_num_embeds=20, text_dim=16, conv_layers=1),
+    )
+    specs = dit_param_specs(params)
+    # stacked halves carry a leading depth axis before the Megatron specs
+    assert specs["first_half"]["attn"]["to_q"]["w"] == P(None, None, "model")
+    assert specs["second_half"]["attn"]["to_out"]["w"] == P(None, "model", None)
+    assert specs["first_half"]["ff"]["in"]["w"] == P(None, None, "model")
+    # non-stacked leaves replicated
+    assert specs["proj_out"]["w"] == P()

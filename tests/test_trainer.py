@@ -167,3 +167,47 @@ def test_frame_packed_batching(tmp_path):
     collated = next(ds.batches(batch_frames=200, max_samples=3, seed=0, frame_bucket=64))
     assert collated["mel"].shape[1] % 64 == 0
     assert collated["text"].shape[0] == collated["mel"].shape[0] == len(collated["lens"])
+
+
+def test_train_step_unett_and_mmdit_backbones():
+    """The trainer is backbone-generic (reference Trainer takes any CFM
+    transformer, model/trainer.py:24): one optimizer step on UNetT and MMDiT."""
+    from f5tts_tpu.models.mmdit import MMDiTConfig
+    from f5tts_tpu.models.unett import UNetTConfig
+
+    backbones = [
+        UNetTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                    text_num_embeds=20, text_dim=16, conv_layers=1),
+        MMDiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                    text_num_embeds=20),
+    ]
+    for model in backbones:
+        cfgm = CFMConfig(model=model)
+        cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100)
+        state = init_train_state(jax.random.PRNGKey(0), cfgm, cfg)
+        step = jax.jit(make_train_step(cfgm, cfg, compute_dtype=jnp.float32))
+        batch = next(synthetic_batches(model, frames=32, batch=2, n_batches=1))
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        db["key"] = jax.random.PRNGKey(1)
+        state2, metrics = step(state, db)
+        assert int(state2["step"]) == 1, type(model).__name__
+        assert np.isfinite(float(metrics["loss"])), type(model).__name__
+        assert float(metrics["grad_norm"]) > 0, type(model).__name__
+        # warmup LR is 0 at step 0; params move on the second step
+        state3, _ = step(state2, db)
+        moved = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state2["params"], state3["params"]))
+        assert max(moved) > 0, type(model).__name__
+
+
+def test_train_cli_model_registry():
+    from f5tts_tpu.cli.train import MODEL_NAMES, resolve_model_cfg
+    from f5tts_tpu.models.dit import DiTConfig
+    from f5tts_tpu.models.unett import UNetTConfig
+
+    for name in MODEL_NAMES:
+        cfg = resolve_model_cfg(name)
+        expect = UNetTConfig if name.startswith("E2TTS") else DiTConfig
+        assert isinstance(cfg.model, expect), name
+    assert resolve_model_cfg("E2TTS_Small").model.depth == 20
+    assert resolve_model_cfg("E2TTS_Base").model.ff_mult == 4
