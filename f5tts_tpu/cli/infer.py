@@ -19,7 +19,7 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("f5tpu-infer", description="TPU-native F5-TTS inference")
     p.add_argument("-c", "--config", default=None, help="TOML config file (flags override)")
-    p.add_argument("-m", "--model", default="F5TTS_Base", help="F5TTS_Base | F5TTS_Small")
+    p.add_argument("-m", "--model", default="F5TTS_Base", help="F5TTS_Base | F5TTS_Small | E2TTS_Base | E2TTS_Small")
     p.add_argument("-p", "--ckpt-file", default="", help="torch .pt/.safetensors DiT checkpoint")
     p.add_argument("-v", "--vocab-file", default="", help="vocab.txt (one char per line)")
     p.add_argument("--vocoder-ckpt", default="", help="vocos torch checkpoint (pytorch_model.bin)")
@@ -98,12 +98,13 @@ def build_engine(args):
         from f5tts_tpu.models.convert import load_torch_state_dict, load_vocos_checkpoint
 
         voc_params = load_vocos_checkpoint(args.vocoder_ckpt, voc_cfg)
-        if args.model == "E2TTS_Base":
+        if args.model.startswith("E2TTS"):
             from f5tts_tpu.models.convert import convert_e2_unett
             from f5tts_tpu.models.unett import UNetTConfig, unett_embed, unett_forward
 
+            ubase = UNetTConfig.small() if args.model == "E2TTS_Small" else UNetTConfig.base()
             dit_cfg = UNetTConfig(
-                **{**UNetTConfig.base().__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn}
+                **{**ubase.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn}
             )
             dit_params = convert_e2_unett(load_torch_state_dict(args.ckpt_file), dit_cfg)
             engine_fns = {"forward_fn": unett_forward, "embed_fn": unett_embed}

@@ -64,3 +64,36 @@ def indic_chat(prompt: str, language: str, max_new_tokens: int = 256) -> str:
     if is_english:
         return reply
     return translate([reply], "eng_Latn", language)[0]
+
+
+VLM_MODEL = os.environ.get("F5TPU_VLM_MODEL", "")
+_vlm = None
+
+
+def _vlm_pipeline():
+    global _vlm
+    if _vlm is None:
+        _require_local(VLM_MODEL, "F5TPU_VLM_MODEL")
+        from transformers import pipeline
+
+        _vlm = pipeline("image-text-to-text", model=VLM_MODEL, device="cpu")
+    return _vlm
+
+
+def visual_query(image, query: str, src_lang: str, tgt_lang: str, max_new_tokens: int = 256) -> str:
+    """Image + question -> answer with the translate-in/out sandwich
+    (``routes/chat.py:65-241`` visual-query semantics; English legs skipped)."""
+    en_query = query if src_lang.startswith("eng") else translate([query], src_lang, "eng_Latn")[0]
+    pipe = _vlm_pipeline()
+    messages = [{"role": "user", "content": [
+        {"type": "image", "image": image}, {"type": "text", "text": en_query}]}]
+    answer = pipe(text=messages, max_new_tokens=max_new_tokens, return_full_text=False)
+    answer = answer[0]["generated_text"].strip()
+    if tgt_lang.startswith("eng"):
+        return answer
+    return translate([answer], "eng_Latn", tgt_lang)[0]
+
+
+def document_query_batch(images, query: str, src_lang: str, tgt_lang: str) -> list[str]:
+    """Per-page visual query over a document (``routes/chat.py:242-440``)."""
+    return [visual_query(img, query, src_lang, tgt_lang) for img in images]

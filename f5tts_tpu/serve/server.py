@@ -471,6 +471,45 @@ def build_app(settings: Settings) -> web.Application:
             raise web.HTTPNotImplemented(text=json.dumps({"error": str(e)}))
         return web.json_response({"translations": out})
 
+    async def visual_query(request: web.Request) -> web.Response:
+        """Image + question -> answer (reference ``routes/chat.py:65-241``
+        ``indic_visual_query``); multipart `file` + fields `query`,
+        `src_lang`, `tgt_lang`. 501 unless F5TPU_VLM_MODEL points at local
+        weights. `/v1/document_query_batch` accepts repeated `file` parts."""
+        check_auth(request)
+        try:
+            reader = await request.multipart()
+        except (AssertionError, ValueError):
+            raise web.HTTPBadRequest(text=json.dumps({"error": "multipart body required"}))
+        images, query = [], ""
+        src, tgt = "eng_Latn", "eng_Latn"
+        async for part in reader:
+            if part.name == "file":
+                images.append(await part.read())
+            elif part.name == "query":
+                query = (await part.read()).decode()
+            elif part.name == "src_lang":
+                src = (await part.read()).decode()
+            elif part.name == "tgt_lang":
+                tgt = (await part.read()).decode()
+        if not images or not query:
+            raise web.HTTPBadRequest(text=json.dumps({"error": "need multipart 'file' image(s) and 'query'"}))
+        try:
+            import io
+
+            from PIL import Image
+
+            from f5tts_tpu.serve.chat import document_query_batch
+
+            pil = [Image.open(io.BytesIO(b)).convert("RGB") for b in images]
+            answers = await asyncio.get_running_loop().run_in_executor(
+                None, document_query_batch, pil, query, src, tgt)
+        except ImportError as e:
+            raise web.HTTPNotImplemented(text=json.dumps({"error": str(e)}))
+        if request.path.endswith("document_query_batch"):
+            return web.json_response({"answers": answers})
+        return web.json_response({"answer": answers[0]})
+
     async def load_all(request: web.Request) -> web.Response:
         check_auth(request)
         await asyncio.get_running_loop().run_in_executor(None, service.load)
@@ -497,6 +536,8 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_get("/v1/voices", voices)
     app.router.add_post("/v1/indic_chat", indic_chat)
     app.router.add_post("/v1/translate", translate_route)
+    app.router.add_post("/v1/visual_query", visual_query)
+    app.router.add_post("/v1/document_query_batch", visual_query)
     app["service"] = service
 
     async def on_startup(app):

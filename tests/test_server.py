@@ -173,3 +173,23 @@ def test_multistyle_speech(client):
     )
     wav2, _ = read_wav(bytes(body2))
     assert len(wav) > len(wav2)
+
+
+def test_visual_query_gated(client):
+    import io
+
+    # missing parts -> 400
+    resp, _ = _req(client, "POST", "/v1/visual_query", data={"query": "what is this?"})
+    assert resp.status == 400
+    # valid request but no local VLM weights -> 501
+    png = io.BytesIO(
+        b"\x89PNG\r\n\x1a\n" + bytes.fromhex(
+            "0000000d49484452000000010000000108020000009077"
+            "53de0000000c4944415408d763f8cfc000000301010018"
+            "dd8db00000000049454e44ae426082"))
+    resp, body = _req(client, "POST", "/v1/visual_query",
+                      data={"file": png, "query": "what is this?", "src_lang": "eng_Latn"})
+    assert resp.status == 501, body
+    resp, _ = _req(client, "POST", "/v1/document_query_batch",
+                   data={"file": io.BytesIO(png.getvalue()), "query": "q"})
+    assert resp.status == 501
