@@ -161,7 +161,12 @@ def _amp_block(p, x, k: int, dilations, anti_aliased: bool):
 
 def _conv_transpose1d(p, x, stride: int, kernel: int):
     """channel-last transposed conv with torch-compatible 'same-ish' padding
-    (pad = (kernel - stride) // 2 cropped from both ends)."""
+    (pad = (kernel - stride) // 2 cropped from both ends).
+
+    NOTE on kernel layout: ``lax.conv_transpose`` correlates (no kernel flip)
+    while torch's ConvTranspose1d convolves; ``p['w']`` must therefore hold
+    the torch kernel **flipped along time** — ``convert_bigvgan`` does this.
+    (Random init is flip-invariant.)"""
     y = lax.conv_transpose(
         x, p["w"].astype(x.dtype), strides=(stride,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -202,8 +207,10 @@ def convert_bigvgan(sd: dict, cfg: BigVGANConfig = BigVGANConfig()):
         return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].transpose(2, 1, 0)), "b": sd[f"{prefix}.bias"]}
 
     def convT(prefix):
-        # torch ConvTranspose1d weight: (in, out, k) -> WIO (k, in, out)
-        return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].transpose(2, 0, 1)), "b": sd[f"{prefix}.bias"]}
+        # torch ConvTranspose1d weight: (in, out, k) -> WIO (k, in, out),
+        # flipped along time (torch convolves; lax.conv_transpose correlates)
+        w = np.asarray(sd[f"{prefix}.weight"]).transpose(2, 0, 1)[::-1]
+        return {"w": np.ascontiguousarray(w), "b": sd[f"{prefix}.bias"]}
 
     params = {
         "conv_pre": conv("conv_pre"),

@@ -122,3 +122,79 @@ def test_anti_aliasing_attenuates_snake_harmonics():
     direct = _snake_beta(x, zero, zero)
     aa = _act(x, zero, zero, True)
     assert alias_energy(aa) < 0.35 * alias_energy(direct)
+
+
+def test_bigvgan_converter_and_decode_torch_golden():
+    """Full-generator golden: an independent torch implementation of the
+    BigVGAN topology (conv_pre -> [convT + AMP resblock fusion]* -> AA snake ->
+    conv_post -> tanh) vs convert_bigvgan + bigvgan_decode."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg = BigVGANConfig(
+        mel_dim=8, upsample_initial_channel=16,
+        upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+    gen = torch.Generator().manual_seed(0)
+
+    def t_rand(*shape, scale=0.2):
+        return (torch.randn(*shape, generator=gen, dtype=torch.float64) * scale)
+
+    sd = {"conv_pre.weight": t_rand(16, 8, 7), "conv_pre.bias": t_rand(16),
+          "conv_post.weight": t_rand(1, 4, 7), "conv_post.bias": t_rand(1),
+          "activation_post.act.alpha": t_rand(1, 4, 1), "activation_post.act.beta": t_rand(1, 4, 1)}
+    chans = [16, 8, 4]
+    for i in range(2):
+        cin, cout = chans[i], chans[i + 1]
+        sd[f"ups.{i}.0.weight"] = t_rand(cin, cout, 4)
+        sd[f"ups.{i}.0.bias"] = t_rand(cout)
+        r = f"resblocks.{i}"
+        for d in range(2):
+            sd[f"{r}.convs1.{d}.weight"] = t_rand(cout, cout, 3)
+            sd[f"{r}.convs1.{d}.bias"] = t_rand(cout)
+            sd[f"{r}.convs2.{d}.weight"] = t_rand(cout, cout, 3)
+            sd[f"{r}.convs2.{d}.bias"] = t_rand(cout)
+            for a in range(2):
+                sd[f"{r}.activations.{2 * d + a}.act.alpha"] = t_rand(1, cout, 1)
+                sd[f"{r}.activations.{2 * d + a}.act.beta"] = t_rand(1, cout, 1)
+
+    filt = torch.tensor(_AA_FILTER, dtype=torch.float64).view(1, 1, -1)
+
+    def aa_snake(x, alpha, beta):  # x: (b, c, n)
+        c = x.shape[1]
+        f = filt.expand(c, 1, -1)
+        up = 2.0 * F.conv_transpose1d(F.pad(x, (5, 5), mode="replicate"), f, stride=2, groups=c)
+        up = up[..., 15:-15]
+        a, b_ = torch.exp(alpha), torch.exp(beta)
+        y = up + (1.0 / (b_ + 1e-9)) * torch.sin(a * up) ** 2
+        return F.conv1d(F.pad(y, (5, 6), mode="replicate"), f, stride=2, groups=c)
+
+    def torch_decode(mel):  # (b, n, m) -> (b, 4n)
+        x = mel.transpose(1, 2).double()
+        x = F.conv1d(x, sd["conv_pre.weight"], sd["conv_pre.bias"], padding=3)
+        for i, (r_, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            x = F.conv_transpose1d(x, sd[f"ups.{i}.0.weight"], sd[f"ups.{i}.0.bias"],
+                                   stride=r_, padding=(k - r_) // 2)
+            rb = f"resblocks.{i}"
+            y = x
+            for d, dil in enumerate(cfg.resblock_dilations[0]):
+                h = aa_snake(y, sd[f"{rb}.activations.{2 * d}.act.alpha"], sd[f"{rb}.activations.{2 * d}.act.beta"])
+                h = F.conv1d(h, sd[f"{rb}.convs1.{d}.weight"], sd[f"{rb}.convs1.{d}.bias"],
+                             padding=dil, dilation=dil)
+                h = aa_snake(h, sd[f"{rb}.activations.{2 * d + 1}.act.alpha"], sd[f"{rb}.activations.{2 * d + 1}.act.beta"])
+                h = F.conv1d(h, sd[f"{rb}.convs2.{d}.weight"], sd[f"{rb}.convs2.{d}.bias"], padding=1)
+                y = y + h
+            x = y  # single resblock kernel size -> fusion avg is identity
+        x = aa_snake(x, sd["activation_post.act.alpha"], sd["activation_post.act.beta"])
+        x = F.conv1d(x, sd["conv_post.weight"], sd["conv_post.bias"], padding=3)
+        return torch.clamp(torch.tanh(x), -1.0, 1.0)[:, 0, :]
+
+    from f5tts_tpu.models.bigvgan import convert_bigvgan
+
+    params = convert_bigvgan({k: v.numpy() for k, v in sd.items()}, cfg)
+    mel = torch.randn(2, 12, 8, generator=gen, dtype=torch.float64) * 0.5
+    ours = np.asarray(bigvgan_decode(params, jnp.asarray(mel.numpy(), jnp.float32), cfg))
+    ref = torch_decode(mel).numpy()
+    assert ours.shape == ref.shape == (2, 48)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
