@@ -76,3 +76,74 @@ def test_strip_ema():
     sd = {"ema_model.a": np.ones(2), "initted": np.ones(1), "step": np.ones(1), "mel_spec.x": np.ones(1)}
     out = strip_ema(sd)
     assert set(out) == {"a"}
+
+
+def test_convert_e2_unett_key_mapping():
+    """E2/UNetT torch layout (`model/backbones/unett.py:130-162`:
+    layers.{i}.[0=skip_proj|None, 1=attn_norm, 2=attn, 3=ff_norm, 4=ff]) lands
+    in the right pytree slots with the right transposes."""
+    from f5tts_tpu.models.convert import convert_e2_unett
+    from f5tts_tpu.models.unett import UNetTConfig, init_unett, unett_forward
+
+    cfg = UNetTConfig(dim=16, depth=4, heads=2, dim_head=8, ff_mult=2, mel_dim=6,
+                      text_num_embeds=11, text_dim=8, conv_layers=1, max_pos=64)
+    rng = np.random.default_rng(3)
+    sd = {}
+
+    def lin(prefix, din, dout, bias=True):
+        sd[prefix + ".weight"] = rng.standard_normal((dout, din)).astype(np.float32)
+        if bias:
+            sd[prefix + ".bias"] = rng.standard_normal(dout).astype(np.float32)
+
+    t = "transformer"
+    lin(f"{t}.time_embed.time_mlp.0", 256, 16)
+    lin(f"{t}.time_embed.time_mlp.2", 16, 16)
+    sd[f"{t}.text_embed.text_embed.weight"] = rng.standard_normal((12, 8)).astype(np.float32)
+    cb = f"{t}.text_embed.text_blocks.0"
+    sd[f"{cb}.dwconv.weight"] = rng.standard_normal((8, 1, 7)).astype(np.float32)
+    sd[f"{cb}.dwconv.bias"] = rng.standard_normal(8).astype(np.float32)
+    sd[f"{cb}.norm.weight"] = rng.standard_normal(8).astype(np.float32)
+    sd[f"{cb}.norm.bias"] = rng.standard_normal(8).astype(np.float32)
+    lin(f"{cb}.pwconv1", 8, 16)
+    sd[f"{cb}.grn.gamma"] = rng.standard_normal((1, 1, 16)).astype(np.float32)
+    sd[f"{cb}.grn.beta"] = rng.standard_normal((1, 1, 16)).astype(np.float32)
+    lin(f"{cb}.pwconv2", 16, 8)
+    lin(f"{t}.input_embed.proj", 6 * 2 + 8, 16)
+    for c in (0, 2):
+        sd[f"{t}.input_embed.conv_pos_embed.conv1d.{c}.weight"] = rng.standard_normal((16, 1, 31)).astype(np.float32)
+        sd[f"{t}.input_embed.conv_pos_embed.conv1d.{c}.bias"] = rng.standard_normal(16).astype(np.float32)
+    for i in range(4):
+        if i >= 2:  # later half: skip_proj at slot 0 (first half stores None -> no keys)
+            lin(f"{t}.layers.{i}.0", 32, 16, bias=False)
+        sd[f"{t}.layers.{i}.1.g"] = rng.standard_normal(16).astype(np.float32)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{t}.layers.{i}.2.{nm}", 16, 16)
+        lin(f"{t}.layers.{i}.2.to_out.0", 16, 16)
+        sd[f"{t}.layers.{i}.3.g"] = rng.standard_normal(16).astype(np.float32)
+        lin(f"{t}.layers.{i}.4.ff.0.0", 16, 32)
+        lin(f"{t}.layers.{i}.4.ff.2", 32, 16)
+    sd[f"{t}.norm_out.g"] = rng.standard_normal(16).astype(np.float32)
+    lin(f"{t}.proj_out", 16, 6)
+
+    params = convert_e2_unett(dict(sd), cfg)
+
+    # structure matches random init exactly
+    ref_tree = init_unett(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(params) == jax.tree.structure(ref_tree)
+
+    # linears transposed, stacking order = layer order, skip_proj only in half 2
+    np.testing.assert_array_equal(
+        np.asarray(params["first_half"]["attn"]["to_q"]["w"][1]), sd[f"{t}.layers.1.2.to_q.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(params["second_half"]["skip_proj"]["w"][0]), sd[f"{t}.layers.2.0.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(params["second_half"]["ff"]["in"]["w"][1]), sd[f"{t}.layers.3.4.ff.0.0.weight"].T)
+    np.testing.assert_array_equal(np.asarray(params["norm_out"]["g"]), sd[f"{t}.norm_out.g"])
+    assert "skip_proj" not in params["first_half"]
+
+    # converted params run end-to-end
+    x = jnp.asarray(rng.standard_normal((1, 12, 6)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 11, (1, 5)), jnp.int32)
+    out = unett_forward(params, cfg, x, x, text, jnp.asarray([0.4], jnp.float32),
+                        jnp.zeros((1,), bool), jnp.zeros((1,), bool))
+    assert out.shape == (1, 12, 6) and bool(jnp.isfinite(out).all())
