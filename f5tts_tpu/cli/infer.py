@@ -31,6 +31,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--cfg-strength", type=float, default=2.0)
     p.add_argument("--sway", type=float, default=-1.0)
+    p.add_argument("--time-grid", default="", help="comma list of ODE time knots 0..1 (pruned-step schedules, overrides --nfe/--sway)")
     p.add_argument("--speed", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--fix-duration", type=float, default=None, help="total duration seconds")
@@ -117,7 +118,10 @@ def build_engine(args):
 
     engine_cfg = EngineConfig(
         mel=mel_cfg, vocoder=voc_cfg,
-        sampler=SamplerConfig(steps=args.nfe, cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway),
+        sampler=SamplerConfig(
+            steps=args.nfe, cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway,
+            time_grid=tuple(float(v) for v in args.time_grid.split(",")) if args.time_grid else None,
+        ),
         compute_dtype=args.dtype,
         cross_fade_duration=args.cross_fade,
         speed=args.speed,

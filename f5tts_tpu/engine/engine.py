@@ -195,6 +195,9 @@ class TTSEngine:
         sampler = SamplerConfig(
             steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
             method=self.cfg.sampler.method,
+            # a configured pruned time grid only applies at its own step count
+            # (per-request nfe_step overrides fall back to the sway grid)
+            time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
@@ -224,6 +227,7 @@ class TTSEngine:
         sampler = SamplerConfig(
             steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
             method=self.cfg.sampler.method,
+            time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, seeds):

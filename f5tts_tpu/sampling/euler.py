@@ -39,6 +39,9 @@ class SamplerConfig:
     cfg_strength: float = 2.0
     sway_sampling_coef: float | None = -1.0
     method: str = "euler"  # "euler" | "midpoint"
+    # Explicit ODE time knots overriding steps/sway (training-free step
+    # pruning a la EPSS, arXiv:2505.19931): monotone, from 0.0 to 1.0.
+    time_grid: tuple[float, ...] | None = None
 
 
 def sway_time_grid(steps: int, coef: float | None, t_start: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
@@ -160,7 +163,13 @@ def sample_cfm(
                 compute_dtype=compute_dtype,
             )
 
-    t_grid = sway_time_grid(sampler.steps, sampler.sway_sampling_coef, dtype=compute_dtype)
+    if sampler.time_grid is not None:
+        tg = sampler.time_grid
+        if len(tg) < 2 or tg[0] != 0.0 or tg[-1] != 1.0 or any(b <= a for a, b in zip(tg, tg[1:])):
+            raise ValueError("time_grid must be strictly increasing from 0.0 to 1.0")
+        t_grid = jnp.asarray(tg, dtype=compute_dtype)
+    else:
+        t_grid = sway_time_grid(sampler.steps, sampler.sway_sampling_coef, dtype=compute_dtype)
 
     if sampler.method == "euler":
 

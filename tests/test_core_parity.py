@@ -210,3 +210,30 @@ def test_cfm_loss_and_grads(tiny_params):
 def test_lens_to_mask():
     mask = np.asarray(lens_to_mask(jnp.asarray([2, 5]), 6))
     assert mask.tolist() == [[True, True, False, False, False, False], [True] * 5 + [False]]
+
+
+def test_custom_time_grid(tiny_params):
+    """SamplerConfig.time_grid: explicit knots equal to the sway grid reproduce
+    the default output exactly; pruned grids run; malformed grids are rejected."""
+    tiny_params, _ = tiny_params
+    rng = np.random.default_rng(11)
+    cond = jnp.asarray(rng.standard_normal((1, 40, TINY.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 20, (1, 12)), jnp.int32)
+    kw = dict(cond=cond, cond_lens=jnp.asarray([12]), text=text,
+              duration=jnp.asarray([40]), seeds=jnp.asarray([3]))
+
+    from f5tts_tpu.sampling.euler import sway_time_grid
+
+    base = sample_cfm(tiny_params, TINY, sampler=SamplerConfig(steps=4), **kw)
+    knots = tuple(float(t) for t in np.asarray(sway_time_grid(4, -1.0)))
+    knots = (0.0,) + knots[1:-1] + (1.0,)  # exact endpoints
+    explicit = sample_cfm(tiny_params, TINY, sampler=SamplerConfig(steps=4, time_grid=knots), **kw)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(explicit), atol=1e-6)
+
+    pruned = sample_cfm(
+        tiny_params, TINY, sampler=SamplerConfig(time_grid=(0.0, 0.05, 0.2, 1.0)), **kw)
+    assert bool(jnp.isfinite(pruned).all())
+    assert float(jnp.abs(pruned - base).max()) > 0
+
+    with pytest.raises(ValueError):
+        sample_cfm(tiny_params, TINY, sampler=SamplerConfig(time_grid=(0.0, 0.5, 0.4, 1.0)), **kw)
