@@ -55,3 +55,30 @@ def test_flash_attention_odd_length_falls_back():
     out = flash_attention(q, q, q, None, interpret=True)
     ref = sdpa_xla(q, q, q, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_packed_head_pair_path_matches_sdpa():
+    """Single-pass + even heads dispatches to the block-diagonal packed kernel
+    (K=128 MXU contraction); must match SDPA including key-padding masks."""
+    from f5tts_tpu.ops.attention import sdpa_xla
+
+    rng = np.random.default_rng(8)
+    b, h, n, d = 2, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    mask = np.ones((b, n), bool)
+    mask[0, 200:] = False
+    mask[1, 100:] = False
+    out = np.asarray(flash_attention(q, k, v, jnp.asarray(mask), interpret=True, packed=True))
+    ref = np.asarray(sdpa_xla(q, k, v, jnp.asarray(mask)))
+    np.testing.assert_allclose(out[mask[:, None, :, None] & np.ones((1, h, 1, d), bool)],
+                               ref[mask[:, None, :, None] & np.ones((1, h, 1, d), bool)],
+                               atol=2e-5, rtol=1e-5)
+
+    # odd head count falls back to the per-head single-pass kernel and still matches
+    out3 = np.asarray(flash_attention(q[:, :3], k[:, :3], v[:, :3], jnp.asarray(mask), interpret=True, packed=True))
+    ref3 = np.asarray(sdpa_xla(q[:, :3], k[:, :3], v[:, :3], jnp.asarray(mask)))
+    np.testing.assert_allclose(out3[mask[:, None, :, None] & np.ones((1, 3, 1, d), bool)],
+                               ref3[mask[:, None, :, None] & np.ones((1, 3, 1, d), bool)],
+                               atol=2e-5, rtol=1e-5)
