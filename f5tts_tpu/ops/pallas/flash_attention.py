@@ -45,8 +45,7 @@ def _flash_single_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_packed_kernel(bias_ref, qa_ref, ka_ref, va_ref, qb_ref, kb_ref, vb_ref,
-                         oa_ref, ob_ref, *, scale: float):
+def _flash_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """Two heads per kernel instance, packed block-diagonally so both MXU
     contractions run at K=128 instead of K=64.
 
@@ -56,37 +55,40 @@ def _flash_packed_kernel(bias_ref, qa_ref, ka_ref, va_ref, qb_ref, kb_ref, vb_re
     2x the MACs of the per-head form (the zero blocks are real work), but
     K=128 is ~2.3x more efficient per MAC on the 128x128 MXU: the bare
     matmuls measure 14% faster (1.45 vs 1.68 ms at b*h=256, n=1024, v5e).
-    In the full kernel the win is cancelled by the per-half masked softmax
-    (3 extra (BQ, 2n) f32 where-ops on the VPU) and the output interleave —
-    measured DEAD EVEN end-to-end (1.744 vs 1.756 ms normalized), so this
-    path is OFF by default (``packed=True`` opts in); see BENCH.md. Heads
-    arrive as two views of the same array via paired index maps, so there
-    is no HBM re-layout. Single-pass only (whole key row in VMEM)."""
-    n = ka_ref.shape[1]
-    d = qa_ref.shape[-1]
-    q2 = jnp.concatenate([qa_ref[0], qb_ref[0]], axis=1)  # (BQ, 2d)
-    z = jnp.zeros((n, d), ka_ref.dtype)
+    With the per-half softmax on static slices the full kernel measures
+    1.574 vs 1.684 ms (+6.5%); a where-mask softmax variant ate the whole
+    win (see BENCH.md for the ablation). Heads arrive as one block spanning
+    the pair (leading block dim 2 on the flat (b*h, n, d) arrays), so there
+    is no HBM re-layout: q/k/v/o blocks span the head pair (leading block dim
+    2 on the flat (b*h, n, d) arrays), so outputs land in place with no
+    interleave. Single-pass only (whole key row in VMEM)."""
+    n = k_ref.shape[1]
+    d = q_ref.shape[-1]
+    q2 = jnp.concatenate([q_ref[0], q_ref[1]], axis=1)  # (BQ, 2d)
+    z = jnp.zeros((n, d), k_ref.dtype)
     kp = jnp.concatenate(
-        [jnp.concatenate([ka_ref[0], z], 1), jnp.concatenate([z, kb_ref[0]], 1)], 0)  # (2n, 2d)
+        [jnp.concatenate([k_ref[0], z], 1), jnp.concatenate([z, k_ref[1]], 1)], 0)  # (2n, 2d)
     s = jax.lax.dot_general(
         q2, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, 2n)
     bias = bias_ref[0]  # (1, n) — same batch row for both heads
-    s = s + jnp.concatenate([bias, bias], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    left = col < n
-    ma = jnp.max(jnp.where(left, s, NEG_INF), -1, keepdims=True)
-    mb = jnp.max(jnp.where(left, NEG_INF, s), -1, keepdims=True)
-    p = jnp.exp(s - jnp.where(left, ma, mb))
-    la = jnp.sum(jnp.where(left, p, 0.0), -1, keepdims=True)
-    lb = jnp.sum(jnp.where(left, 0.0, p), -1, keepdims=True)
+    # per-half softmax on static slices (cheaper than masked full-width ops)
+    sa = s[:, :n] + bias
+    sb = s[:, n:] + bias
+    ma = jnp.max(sa, -1, keepdims=True)
+    mb = jnp.max(sb, -1, keepdims=True)
+    pa = jnp.exp(sa - ma)
+    pb = jnp.exp(sb - mb)
+    la = jnp.sum(pa, -1, keepdims=True)
+    lb = jnp.sum(pb, -1, keepdims=True)
+    p = jnp.concatenate([pa, pb], axis=1)
     vp = jnp.concatenate(
-        [jnp.concatenate([va_ref[0], z], 1), jnp.concatenate([z, vb_ref[0]], 1)], 0)  # (2n, 2d)
+        [jnp.concatenate([v_ref[0], z], 1), jnp.concatenate([z, v_ref[1]], 1)], 0)  # (2n, 2d)
     o = jax.lax.dot_general(
         p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, 2d)
-    oa_ref[0] = (o[:, :d] / jnp.maximum(la, 1e-30)).astype(oa_ref.dtype)
-    ob_ref[0] = (o[:, d:] / jnp.maximum(lb, 1e-30)).astype(ob_ref.dtype)
+    o_ref[0] = (o[:, :d] / jnp.maximum(la, 1e-30)).astype(o_ref.dtype)
+    o_ref[1] = (o[:, d:] / jnp.maximum(lb, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
@@ -132,7 +134,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
-    packed: bool = False,  # experimental head-pair packing; measured neutral
+    packed: bool = True,  # head-pair packing (single-pass, even heads): +6.5% on the n² core
 ) -> jnp.ndarray:
     b, h, n, d = q.shape
     # adapt blocks to the bucket: largest candidate that divides n (e.g. the
@@ -166,27 +168,22 @@ def flash_attention(
 
     if packed and block_k == n and h % 2 == 0 and d <= 64:
         # single-pass + even heads: pack head pairs block-diagonally so both
-        # MXU contractions run full-depth (see _flash_packed_kernel)
+        # MXU contractions run full-depth (see _flash_packed_kernel); blocks
+        # span the pair (leading dim 2), outputs land in place
         grid = (b * h // 2, n // block_q)
-        qf, kf, vf = flat(q), flat(k), flat(v)
-        bias_spec = pl.BlockSpec((1, 1, n), lambda g, qi: (2 * g // h, 0, 0), memory_space=pltpu.VMEM)
-        qa_spec = pl.BlockSpec((1, block_q, d), lambda g, qi: (2 * g, qi, 0), memory_space=pltpu.VMEM)
-        qb_spec = pl.BlockSpec((1, block_q, d), lambda g, qi: (2 * g + 1, qi, 0), memory_space=pltpu.VMEM)
-        ka_spec = pl.BlockSpec((1, n, d), lambda g, qi: (2 * g, 0, 0), memory_space=pltpu.VMEM)
-        kb_spec = pl.BlockSpec((1, n, d), lambda g, qi: (2 * g + 1, 0, 0), memory_space=pltpu.VMEM)
-        oa, ob = pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_flash_packed_kernel, scale=scale),
             grid=grid,
-            in_specs=[bias_spec, qa_spec, ka_spec, ka_spec, qb_spec, kb_spec, kb_spec],
-            out_specs=[
-                pl.BlockSpec((1, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
+            in_specs=[
+                pl.BlockSpec((1, 1, n), lambda g, qi: (2 * g // h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n, d), lambda g, qi: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n, d), lambda g, qi: (g, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_shape=[jax.ShapeDtypeStruct((b * h // 2, n, d), q.dtype)] * 2,
+            out_specs=pl.BlockSpec((2, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
             interpret=interpret,
-        )(bias, qf, kf, vf, qf, kf, vf)
-        # interleave head pairs back: (b, h/2, 2, n, d) -> (b, h, n, d)
-        out = jnp.stack([oa.reshape(b, h // 2, n, d), ob.reshape(b, h // 2, n, d)], axis=2)
+        )(bias, flat(q), flat(k), flat(v))
         return out.reshape(b, h, n, d)
 
     grid = (b * h, n // block_q)
