@@ -91,6 +91,62 @@ def _flash_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[1] = (o[:, d:] / jnp.maximum(lb, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_packed_multi_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    """Head-pair packed variant of the online-softmax kernel (n > one block):
+    same block-diagonal K=128 trick as ``_flash_packed_kernel``, with separate
+    (m, l) running stats per half and one shared (BQ, 2d) accumulator."""
+    n = k_ref.shape[1]
+    d = q_ref.shape[-1]
+    num_kb = n // block_k
+    q2 = jnp.concatenate([q_ref[0], q_ref[1]], axis=1)  # (BQ, 2d)
+    bq = q2.shape[0]
+
+    ma = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    mb = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    la = jnp.zeros((bq, 1), jnp.float32)
+    lb = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, 2 * d), jnp.float32)
+
+    def body(kb, carry):
+        ma, mb, la, lb, acc = carry
+        ka = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        kb_ = k_ref[1, pl.ds(kb * block_k, block_k), :]
+        va = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        vb = v_ref[1, pl.ds(kb * block_k, block_k), :]
+        bias = bias_ref[0, :, pl.ds(kb * block_k, block_k)]  # (1, BK)
+
+        z = jnp.zeros((block_k, d), ka.dtype)
+        kp = jnp.concatenate([jnp.concatenate([ka, z], 1), jnp.concatenate([z, kb_], 1)], 0)
+        s = jax.lax.dot_general(
+            q2, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, 2*BK)
+        sa = s[:, :block_k] + bias
+        sb = s[:, block_k:] + bias
+
+        ma_new = jnp.maximum(ma, jnp.max(sa, -1, keepdims=True))
+        mb_new = jnp.maximum(mb, jnp.max(sb, -1, keepdims=True))
+        alpha_a = jnp.exp(ma - ma_new)
+        alpha_b = jnp.exp(mb - mb_new)
+        pa = jnp.exp(sa - ma_new)
+        pb = jnp.exp(sb - mb_new)
+        la_new = la * alpha_a + jnp.sum(pa, -1, keepdims=True)
+        lb_new = lb * alpha_b + jnp.sum(pb, -1, keepdims=True)
+
+        vp = jnp.concatenate([jnp.concatenate([va, z], 1), jnp.concatenate([z, vb], 1)], 0)
+        p = jnp.concatenate([pa, pb], axis=1)
+        # acc halves rescale independently (left d cols = head A, right = head B)
+        alpha2 = jnp.concatenate(
+            [jnp.broadcast_to(alpha_a, (bq, d)), jnp.broadcast_to(alpha_b, (bq, d))], 1)
+        acc_new = acc * alpha2 + jax.lax.dot_general(
+            p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return ma_new, mb_new, la_new, lb_new, acc_new
+
+    ma, mb, la, lb, acc = jax.lax.fori_loop(0, num_kb, body, (ma, mb, la, lb, acc))
+    o_ref[0] = (acc[:, :d] / jnp.maximum(la, 1e-30)).astype(o_ref.dtype)
+    o_ref[1] = (acc[:, d:] / jnp.maximum(lb, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     q = q_ref[0]  # (BQ, d)
     n = k_ref.shape[1]
@@ -166,13 +222,18 @@ def flash_attention(
     def flat(t):
         return t.reshape(b * h, n, d)
 
-    if packed and block_k == n and h % 2 == 0 and d <= 64:
-        # single-pass + even heads: pack head pairs block-diagonally so both
-        # MXU contractions run full-depth (see _flash_packed_kernel); blocks
-        # span the pair (leading dim 2), outputs land in place
+    if packed and h % 2 == 0 and d <= 64:
+        # even heads: pack head pairs block-diagonally so both MXU
+        # contractions run full-depth (see _flash_packed_kernel); blocks span
+        # the pair (leading dim 2), outputs land in place
         grid = (b * h // 2, n // block_q)
+        kernel = (
+            functools.partial(_flash_packed_kernel, scale=scale)
+            if block_k == n
+            else functools.partial(_flash_packed_multi_kernel, block_k=block_k, scale=scale)
+        )
         out = pl.pallas_call(
-            functools.partial(_flash_packed_kernel, scale=scale),
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, n), lambda g, qi: (2 * g // h, 0, 0), memory_space=pltpu.VMEM),

@@ -82,3 +82,21 @@ def test_packed_head_pair_path_matches_sdpa():
     np.testing.assert_allclose(out3[mask[:, None, :, None] & np.ones((1, 3, 1, d), bool)],
                                ref3[mask[:, None, :, None] & np.ones((1, 3, 1, d), bool)],
                                atol=2e-5, rtol=1e-5)
+
+
+def test_packed_multiblock_matches_sdpa():
+    """Packed head-pair path with online softmax (block_k < n)."""
+    from f5tts_tpu.ops.attention import sdpa_xla
+
+    rng = np.random.default_rng(12)
+    b, h, n, d = 2, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    mask = np.ones((b, n), bool)
+    mask[0, 420:] = False
+    out = np.asarray(flash_attention(q, k, v, jnp.asarray(mask),
+                                     block_q=128, block_k=256, interpret=True, packed=True))
+    ref = np.asarray(sdpa_xla(q, k, v, jnp.asarray(mask)))
+    sel = mask[:, None, :, None] & np.ones((1, h, 1, d), bool)
+    np.testing.assert_allclose(out[sel], ref[sel], atol=2e-5, rtol=1e-5)
