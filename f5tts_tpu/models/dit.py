@@ -48,6 +48,7 @@ class DiTConfig:
     long_skip_connection: bool = False
     max_pos: int = 4096  # abs-pos/RoPE table horizon (~44 s at 93.75 fps)
     attn_impl: str = "xla"  # "xla" | "flash"
+    conv_pos_impl: str = "xla"  # "xla" | "fused" (Pallas true-FLOP grouped kernel; serving only)
     rope_all_heads: bool = False  # False = reference parity (head-0-only RoPE)
 
     @staticmethod
@@ -127,12 +128,12 @@ def _scan_blocks(stacked, x, block_fn):
     return y
 
 
-def input_embed(params, x, cond, text_emb, drop_audio_cond, mask=None):
+def input_embed(params, x, cond, text_emb, drop_audio_cond, mask=None, conv_pos_impl: str = "xla"):
     """``dit.py:81-87`` with per-sample audio-cond drop."""
     p = params["input_embed"]
     cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond)
     h = m.linear(p["proj"], jnp.concatenate([x, cond, text_emb], axis=-1))
-    return m.conv_pos_embedding(p["conv_pos"], h, mask) + h
+    return m.conv_pos_embedding(p["conv_pos"], h, mask, impl=conv_pos_impl) + h
 
 
 def dit_embed(params, cfg: DiTConfig, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray):
@@ -164,7 +165,7 @@ def dit_forward(
     x = x.astype(compute_dtype)
     cond = cond.astype(compute_dtype)
     text_emb = text_emb.astype(compute_dtype)
-    h = input_embed(params, x, cond, text_emb, drop_audio_cond, mask)
+    h = input_embed(params, x, cond, text_emb, drop_audio_cond, mask, conv_pos_impl=cfg.conv_pos_impl)
 
     freqs = jnp.asarray(rotary_freqs(n, cfg.dim_head))
 

@@ -20,6 +20,7 @@ Linear ``w: (in, out)``; Conv1d kernel ``(width, in/groups, out)`` for
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -246,15 +247,63 @@ def init_conv_pos_embedding(key, dim: int, kernel_size: int = 31, groups: int = 
     }
 
 
-def conv_pos_embedding(p, x, mask=None, kernel_size: int = 31, groups: int = 16):
+def conv_pos_embedding(p, x, mask=None, kernel_size: int = 31, groups: int = 16, impl: str = "xla"):
+    """``impl='fused'`` takes the true-FLOP Pallas kernel
+    (``ops/pallas/conv_pos.py`` — the densified XLA path does 16x the MACs);
+    only valid outside sharded/pjit contexts. ``'xla'`` keeps the reference
+    formulation (grouped einsum, or big dense matmuls on densified weights)."""
     pad = kernel_size // 2
     if mask is not None:
         x = jnp.where(mask[..., None], x, 0.0)
+    w1 = p["conv1"]["w"]
+    k, cg, c_out = w1.shape
+    if (
+        impl == "fused"
+        and groups > 1
+        and cg == c_out // groups  # grouped (not densified) weights
+        and x.shape[-1] == c_out
+        and k == kernel_size
+        and cg % 8 == 0
+    ):
+        from f5tts_tpu.ops.pallas.conv_pos import pick_cluster, pick_tile
+
+        if pick_tile(x.shape[1]) is not None and pick_cluster(groups, cg) is not None:
+            y = _conv_pos_fused(
+                x, w1, p["conv1"]["b"], p["conv2"]["w"], p["conv2"]["b"], groups, kernel_size
+            )
+            if mask is not None:
+                y = jnp.where(mask[..., None], y, 0.0)
+            return y
     y = mish(conv1d(p["conv1"], x, groups=groups, padding=pad))
     y = mish(conv1d(p["conv2"], y, groups=groups, padding=pad))
     if mask is not None:
         y = jnp.where(mask[..., None], y, 0.0)
     return y
+
+
+def _conv_pos_ref(x, w1, b1, w2, b2, groups: int, kernel_size: int):
+    pad = kernel_size // 2
+    y = mish(conv1d({"w": w1, "b": b1}, x, groups=groups, padding=pad))
+    return mish(conv1d({"w": w2, "b": b2}, y, groups=groups, padding=pad))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _conv_pos_fused(x, w1, b1, w2, b2, groups: int, kernel_size: int):
+    from f5tts_tpu.ops.pallas.conv_pos import conv_pos_pallas
+
+    return conv_pos_pallas(x, w1, b1, w2, b2, groups=groups, kernel_size=kernel_size)
+
+
+def _conv_pos_fused_fwd(x, w1, b1, w2, b2, groups: int, kernel_size: int):
+    return _conv_pos_fused(x, w1, b1, w2, b2, groups, kernel_size), (x, w1, b1, w2, b2)
+
+
+def _conv_pos_fused_bwd(groups, kernel_size, res, g):
+    _, vjp = jax.vjp(lambda *a: _conv_pos_ref(*a, groups, kernel_size), *res)
+    return vjp(g)
+
+
+_conv_pos_fused.defvjp(_conv_pos_fused_fwd, _conv_pos_fused_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ class UNetTConfig:
     skip_connect_type: str = "concat"  # "concat" | "add" | "none"
     max_pos: int = 4096
     attn_impl: str = "xla"
+    conv_pos_impl: str = "xla"  # "xla" | "fused" (Pallas grouped kernel; serving only)
     rope_all_heads: bool = False
 
     @staticmethod
@@ -124,7 +125,7 @@ def unett_forward(
     x = x.astype(compute_dtype)
     cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond.astype(compute_dtype))
     h = m.linear(params["input_embed"]["proj"], jnp.concatenate([x, cond, text_emb.astype(compute_dtype)], -1))
-    h = m.conv_pos_embedding(params["input_embed"]["conv_pos"], h, mask) + h
+    h = m.conv_pos_embedding(params["input_embed"]["conv_pos"], h, mask, impl=cfg.conv_pos_impl) + h
 
     # prepend time token (unett.py:184-188)
     h = jnp.concatenate([t[:, None, :], h], axis=1)
