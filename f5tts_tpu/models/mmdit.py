@@ -32,6 +32,7 @@ class MMDiTConfig:
     text_num_embeds: int = 256
     text_max_pos: int = 1024  # mmdit.py:35
     attn_impl: str = "xla"
+    conv_pos_impl: str = "xla"  # "xla" | "fused" (Pallas grouped kernel; serving only)
 
 
 def _init_joint_attention(key, dim: int, heads: int, dim_head: int, context_pre_only: bool):
@@ -167,7 +168,7 @@ def mmdit_forward(
 
     cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond.astype(compute_dtype))
     h = m.linear(params["audio_embed"]["proj"], jnp.concatenate([x.astype(compute_dtype), cond], -1))
-    h = m.conv_pos_embedding(params["audio_embed"]["conv_pos"], h) + h
+    h = m.conv_pos_embedding(params["audio_embed"]["conv_pos"], h, impl=cfg.conv_pos_impl) + h
 
     freqs_x = jnp.asarray(rotary_freqs(n, cfg.dim_head))
     freqs_c = jnp.asarray(rotary_freqs(c.shape[1], cfg.dim_head))

@@ -428,7 +428,7 @@ def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", r
         k = linear(p["to_k"], x)
         v = linear(p["to_v"], x)
 
-    if rope_freqs is not None and not rope_all_heads:
+    if impl != "flash" and rope_freqs is not None and not rope_all_heads:
         # reference parity quirk: RoPE on the flat pre-split projection touches
         # only the first dim_head channels (head 0)
         from f5tts_tpu.ops.rope import apply_rotary
@@ -440,14 +440,16 @@ def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", r
         return t.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    if rope_freqs is not None and rope_all_heads:
+    if impl != "flash" and rope_freqs is not None and rope_all_heads:
         q = apply_rotary_per_head(q, rope_freqs)
         k = apply_rotary_per_head(k, rope_freqs)
 
     if impl == "flash":
         from f5tts_tpu.ops.pallas.flash_attention import flash_attention
 
-        o = flash_attention(q, k, v, mask)
+        # rope rides into the kernel (saves a full HBM rewrite of q and k)
+        rf = jnp.asarray(rope_freqs) if rope_freqs is not None else None
+        o = flash_attention(q, k, v, mask, rope_freqs=rf, rope_all_heads=rope_all_heads)
     elif impl == "ring":
         # context-parallel: sequence axis sharded over the ambient mesh's
         # 'cp' axis (jax.sharding.set_mesh); see parallel/ring_attention.py

@@ -45,7 +45,38 @@ def _flash_single_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _rot(x, cos, sin):
+    """Half-split rotary: x*cos + rotate_half(x)*sin on a (rows, d) tile."""
+    half = x.shape[-1] // 2
+    rh = jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+    return x * cos + rh * sin
+
+
+def _maybe_rope_pair(q_ref, k_ref, cos_ref, sin_ref, *, h: int, rope_all: bool, block_q: int):
+    """Fused RoPE for a head pair: the reference ropes only head 0 (the flat
+    pre-split quirk, model/modules.py:414-419 — see ops/rope.py), so head A is
+    rotated only when this grid cell's pair starts at head 0; head B (odd flat
+    index) is rotated only under ``rope_all``. Fusing here removes the
+    full-HBM q/k rewrite the XLA-level rope costs (~5 ms/step at b=16)."""
+    g = pl.program_id(0)
+    qi = pl.program_id(1)
+    dt = q_ref.dtype
+    cos_q = cos_ref[pl.ds(qi * block_q, block_q)].astype(dt)
+    sin_q = sin_ref[pl.ds(qi * block_q, block_q)].astype(dt)
+    cos_k = cos_ref[:].astype(dt)
+    sin_k = sin_ref[:].astype(dt)
+    qa, qb = q_ref[0], q_ref[1]
+    ka, kb = k_ref[0], k_ref[1]
+    if rope_all:
+        return _rot(qa, cos_q, sin_q), _rot(qb, cos_q, sin_q), _rot(ka, cos_k, sin_k), _rot(kb, cos_k, sin_k)
+    is_head0 = ((2 * g) % h) == 0
+    qa = jnp.where(is_head0, _rot(qa, cos_q, sin_q), qa)
+    ka = jnp.where(is_head0, _rot(ka, cos_k, sin_k), ka)
+    return qa, qb, ka, kb
+
+
+def _flash_packed_kernel(bias_ref, q_ref, k_ref, v_ref, *rest, scale: float,
+                         fuse_rope: bool = False, h: int = 0, rope_all: bool = False):
     """Two heads per kernel instance, packed block-diagonally so both MXU
     contractions run at K=128 instead of K=64.
 
@@ -61,13 +92,22 @@ def _flash_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     the pair (leading block dim 2 on the flat (b*h, n, d) arrays), so there
     is no HBM re-layout: q/k/v/o blocks span the head pair (leading block dim
     2 on the flat (b*h, n, d) arrays), so outputs land in place with no
-    interleave. Single-pass only (whole key row in VMEM)."""
+    interleave. Single-pass only (whole key row in VMEM). With ``fuse_rope``
+    the kernel also applies RoPE to its q/k tiles in VMEM
+    (``_maybe_rope_pair``)."""
+    if fuse_rope:
+        cos_ref, sin_ref, o_ref = rest
+        qa, qb, ka, kb = _maybe_rope_pair(
+            q_ref, k_ref, cos_ref, sin_ref, h=h, rope_all=rope_all, block_q=q_ref.shape[1])
+    else:
+        (o_ref,) = rest
+        qa, qb, ka, kb = q_ref[0], q_ref[1], k_ref[0], k_ref[1]
     n = k_ref.shape[1]
     d = q_ref.shape[-1]
-    q2 = jnp.concatenate([q_ref[0], q_ref[1]], axis=1)  # (BQ, 2d)
+    q2 = jnp.concatenate([qa, qb], axis=1)  # (BQ, 2d)
     z = jnp.zeros((n, d), k_ref.dtype)
     kp = jnp.concatenate(
-        [jnp.concatenate([k_ref[0], z], 1), jnp.concatenate([z, k_ref[1]], 1)], 0)  # (2n, 2d)
+        [jnp.concatenate([ka, z], 1), jnp.concatenate([z, kb], 1)], 0)  # (2n, 2d)
     s = jax.lax.dot_general(
         q2, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, 2n)
@@ -91,14 +131,33 @@ def _flash_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[1] = (o[:, d:] / jnp.maximum(lb, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_packed_multi_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _flash_packed_multi_kernel(bias_ref, q_ref, k_ref, v_ref, *rest, block_k: int, scale: float,
+                               fuse_rope: bool = False, h: int = 0, rope_all: bool = False):
     """Head-pair packed variant of the online-softmax kernel (n > one block):
     same block-diagonal K=128 trick as ``_flash_packed_kernel``, with separate
     (m, l) running stats per half and one shared (BQ, 2d) accumulator."""
+    dt = q_ref.dtype
+    if fuse_rope:
+        cos_ref, sin_ref, o_ref = rest
+        g = pl.program_id(0)
+        qi = pl.program_id(1)
+        bq_ = q_ref.shape[1]
+        cos_q = cos_ref[pl.ds(qi * bq_, bq_)].astype(dt)
+        sin_q = sin_ref[pl.ds(qi * bq_, bq_)].astype(dt)
+        if rope_all:
+            is_head0 = None
+            qa_r, qb_r = _rot(q_ref[0], cos_q, sin_q), _rot(q_ref[1], cos_q, sin_q)
+        else:
+            is_head0 = ((2 * g) % h) == 0
+            qa_r = jnp.where(is_head0, _rot(q_ref[0], cos_q, sin_q), q_ref[0])
+            qb_r = q_ref[1]
+    else:
+        (o_ref,) = rest
+        qa_r, qb_r = q_ref[0], q_ref[1]
     n = k_ref.shape[1]
     d = q_ref.shape[-1]
     num_kb = n // block_k
-    q2 = jnp.concatenate([q_ref[0], q_ref[1]], axis=1)  # (BQ, 2d)
+    q2 = jnp.concatenate([qa_r, qb_r], axis=1)  # (BQ, 2d)
     bq = q2.shape[0]
 
     ma = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -111,6 +170,13 @@ def _flash_packed_multi_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k:
         ma, mb, la, lb, acc = carry
         ka = k_ref[0, pl.ds(kb * block_k, block_k), :]
         kb_ = k_ref[1, pl.ds(kb * block_k, block_k), :]
+        if fuse_rope:
+            cos_b = cos_ref[pl.ds(kb * block_k, block_k)].astype(dt)
+            sin_b = sin_ref[pl.ds(kb * block_k, block_k)].astype(dt)
+            if rope_all:
+                ka, kb_ = _rot(ka, cos_b, sin_b), _rot(kb_, cos_b, sin_b)
+            else:
+                ka = jnp.where(is_head0, _rot(ka, cos_b, sin_b), ka)
         va = v_ref[0, pl.ds(kb * block_k, block_k), :]
         vb = v_ref[1, pl.ds(kb * block_k, block_k), :]
         bias = bias_ref[0, :, pl.ds(kb * block_k, block_k)]  # (1, BK)
@@ -181,7 +247,7 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "packed"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "packed", "rope_all_heads"))
 def flash_attention(
     q: jnp.ndarray,  # (b, h, n, d)
     k: jnp.ndarray,
@@ -191,8 +257,29 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
     packed: bool = True,  # head-pair packing (single-pass, even heads): +6.5% on the n² core
+    rope_freqs: jnp.ndarray | None = None,  # (n, d): fuse RoPE into the kernel (packed path)
+    rope_all_heads: bool = False,  # False = reference head-0-only quirk (ops/rope.py)
 ) -> jnp.ndarray:
     b, h, n, d = q.shape
+
+    def rope_xla(q, k):
+        """Fallback rope at XLA level (same semantics the kernel fuses)."""
+        if rope_freqs is None:
+            return q, k
+        cos = jnp.cos(rope_freqs).astype(q.dtype)
+        sin = jnp.sin(rope_freqs).astype(q.dtype)
+
+        def rot4(t):
+            half = d // 2
+            rh = jnp.concatenate([-t[..., half:], t[..., :half]], -1)
+            return t * cos + rh * sin
+
+        if rope_all_heads:
+            return rot4(q), rot4(k)
+        return (
+            jnp.concatenate([rot4(q[:, :1]), q[:, 1:]], 1),
+            jnp.concatenate([rot4(k[:, :1]), k[:, 1:]], 1),
+        )
     # adapt blocks to the bucket: largest candidate that divides n (e.g. the
     # 768/1536 buckets use 256/384-wide tiles instead of falling back to XLA)
     if n % block_q:
@@ -208,6 +295,7 @@ def flash_attention(
     if block_q is None or block_k is None or n % 128:
         from f5tts_tpu.ops.attention import sdpa_xla
 
+        q, k = rope_xla(q, k)
         return sdpa_xla(q, k, v, key_mask)
 
     if interpret is None:
@@ -225,28 +313,39 @@ def flash_attention(
     if packed and h % 2 == 0 and d <= 64:
         # even heads: pack head pairs block-diagonally so both MXU
         # contractions run full-depth (see _flash_packed_kernel); blocks span
-        # the pair (leading dim 2), outputs land in place
+        # the pair (leading dim 2), outputs land in place; RoPE (when given)
+        # is applied to the VMEM tiles inside the kernel, saving the full
+        # HBM q/k rewrite of an XLA-level rope
+        fuse_rope = rope_freqs is not None
         grid = (b * h // 2, n // block_q)
+        common = dict(scale=scale, fuse_rope=fuse_rope, h=h, rope_all=rope_all_heads)
         kernel = (
-            functools.partial(_flash_packed_kernel, scale=scale)
+            functools.partial(_flash_packed_kernel, **common)
             if block_k == n
-            else functools.partial(_flash_packed_multi_kernel, block_k=block_k, scale=scale)
+            else functools.partial(_flash_packed_multi_kernel, block_k=block_k, **common)
         )
+        in_specs = [
+            pl.BlockSpec((1, 1, n), lambda g, qi: (2 * g // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, d), lambda g, qi: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, d), lambda g, qi: (g, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands = [bias, flat(q), flat(k), flat(v)]
+        if fuse_rope:
+            table_spec = pl.BlockSpec((n, d), lambda g, qi: (0, 0), memory_space=pltpu.VMEM)
+            in_specs += [table_spec, table_spec]
+            operands += [jnp.cos(rope_freqs).astype(jnp.float32), jnp.sin(rope_freqs).astype(jnp.float32)]
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, n), lambda g, qi: (2 * g // h, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, n, d), lambda g, qi: (g, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, n, d), lambda g, qi: (g, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((2, block_q, d), lambda g, qi: (g, qi, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
             interpret=interpret,
-        )(bias, flat(q), flat(k), flat(v))
+        )(*operands)
         return out.reshape(b, h, n, d)
 
+    q, k = rope_xla(q, k)
     grid = (b * h, n // block_q)
     kernel = (
         functools.partial(_flash_single_kernel, scale=scale)

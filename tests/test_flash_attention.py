@@ -100,3 +100,37 @@ def test_packed_multiblock_matches_sdpa():
     ref = np.asarray(sdpa_xla(q, k, v, jnp.asarray(mask)))
     sel = mask[:, None, :, None] & np.ones((1, h, 1, d), bool)
     np.testing.assert_allclose(out[sel], ref[sel], atol=2e-5, rtol=1e-5)
+
+
+def test_fused_rope_matches_external_rope():
+    """rope_freqs passed into the kernel == roping q/k outside (head-0-only
+    quirk and all-heads variants; single-pass and multi-block paths)."""
+    from f5tts_tpu.ops.attention import sdpa_xla
+    from f5tts_tpu.ops.rope import apply_rotary_per_head, rotary_freqs
+
+    rng = np.random.default_rng(21)
+    b, h, n, d = 2, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    mask = np.ones((b, n), bool)
+    mask[1, 180:] = False
+    freqs = jnp.asarray(rotary_freqs(n, d))
+
+    def rope_head0(t):
+        return jnp.concatenate([apply_rotary_per_head(t[:, :1], freqs), t[:, 1:]], 1)
+
+    for blocks in ({}, {"block_q": 128, "block_k": 128}):
+        # head-0-only (reference quirk)
+        out = flash_attention(q, k, v, jnp.asarray(mask), interpret=True,
+                              rope_freqs=freqs, rope_all_heads=False, **blocks)
+        ref = sdpa_xla(rope_head0(q), rope_head0(k), v, jnp.asarray(mask))
+        sel = mask[:, None, :, None] & np.ones((1, h, 1, d), bool)
+        np.testing.assert_allclose(np.asarray(out)[sel], np.asarray(ref)[sel], atol=3e-5, rtol=1e-4)
+
+        # all-heads
+        out = flash_attention(q, k, v, jnp.asarray(mask), interpret=True,
+                              rope_freqs=freqs, rope_all_heads=True, **blocks)
+        ref = sdpa_xla(apply_rotary_per_head(q, freqs), apply_rotary_per_head(k, freqs),
+                       v, jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(out)[sel], np.asarray(ref)[sel], atol=3e-5, rtol=1e-4)
