@@ -49,6 +49,8 @@ def main(argv=None):
     p.add_argument("--warmup-updates", type=int, default=20000)
     p.add_argument("--total-updates", type=int, default=1200000)
     p.add_argument("--batch-frames", type=int, default=38400)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer update (use with a reduced --batch-frames to fit HBM)")
     p.add_argument("--max-samples", type=int, default=64)
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -72,6 +74,7 @@ def main(argv=None):
             "warmup_updates": ycfg.get("optim", {}).get("warmup_updates"),
             "total_updates": ycfg.get("optim", {}).get("total_updates"),
             "batch_frames": ycfg.get("optim", {}).get("batch_frames"),
+            "grad_accum": ycfg.get("optim", {}).get("grad_accum"),
             "max_samples": ycfg.get("optim", {}).get("max_samples"),
             "checkpoint_dir": ycfg.get("ckpts", {}).get("checkpoint_dir"),
             "save_every": ycfg.get("ckpts", {}).get("save_every"),
@@ -97,6 +100,7 @@ def main(argv=None):
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate, warmup_updates=args.warmup_updates,
         total_updates=args.total_updates, batch_frames=args.batch_frames, seed=args.seed,
+        max_grad_accum=args.grad_accum,
     )
     mesh = build_mesh(model_parallel=args.model_parallel) if jax.device_count() > 1 else None
 

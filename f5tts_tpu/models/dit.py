@@ -172,9 +172,14 @@ def dit_forward(
     if cfg.long_skip_connection:
         residual = h
 
+    # remat each scanned block: under grad, activations are recomputed instead
+    # of stored — O(1) block activations in HBM, which is what lets one v5e
+    # train at the reference's 38400-frame batch (trainer.py:305). Free at
+    # inference (no residuals are saved when nothing differentiates).
     if dropout_rng is not None and cfg.dropout > 0.0:
         block_rngs = jax.random.split(dropout_rng, cfg.depth * 2).reshape(cfg.depth, 2, -1)
 
+        @jax.checkpoint
         def body(carry, xs):
             blk, rngs = xs
             out = m.dit_block(
@@ -186,6 +191,7 @@ def dit_forward(
         h, _ = lax.scan(body, h, (params["blocks"], block_rngs))
     else:
 
+        @jax.checkpoint
         def body(carry, blk):
             out = m.dit_block(
                 blk, carry, t, cfg.heads, freqs, mask, impl=cfg.attn_impl, rope_all_heads=cfg.rope_all_heads

@@ -173,6 +173,7 @@ def mmdit_forward(
     freqs_x = jnp.asarray(rotary_freqs(n, cfg.dim_head))
     freqs_c = jnp.asarray(rotary_freqs(c.shape[1], cfg.dim_head))
 
+    @jax.checkpoint  # remat per block: O(1) block activations under grad
     def body(carry, blk):
         hh, cc = carry
         hh, cc = _block(blk, hh, cc, t, cfg.heads, freqs_x, freqs_c, mask, False)

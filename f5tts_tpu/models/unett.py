@@ -142,6 +142,7 @@ def unett_forward(
         hh = a + hh
         return m.feed_forward(blk["ff"], m.rms_norm(blk["ff_norm"], hh)) + hh
 
+    @jax.checkpoint  # remat per block: O(1) block activations under grad
     def first_body(carry, blk):
         out = attn_ff(blk, carry)
         return out, carry  # push pre-block state as the skip (unett.py:200-201)
@@ -151,6 +152,7 @@ def unett_forward(
     # LIFO: reverse the stacked skips along depth
     skips = jax.tree.map(lambda s: s[::-1], skips)
 
+    @jax.checkpoint
     def second_body(carry, inp):
         blk, skip = inp
         if cfg.skip_connect_type == "concat":

@@ -211,3 +211,33 @@ def test_train_cli_model_registry():
         assert isinstance(cfg.model, expect), name
     assert resolve_model_cfg("E2TTS_Small").model.depth == 20
     assert resolve_model_cfg("E2TTS_Base").model.ff_mult == 4
+
+
+def test_fit_with_grad_accum_groups_micro_batches():
+    """Trainer.fit with max_grad_accum>1 pad-stacks unequal micro-batches into
+    one accumulated update (padded rows carry lens=0 -> no loss frames)."""
+    from f5tts_tpu.train.trainer import Trainer, group_micro_batches
+
+    cfg = TrainConfig(learning_rate=1e-3, warmup_updates=1, total_updates=50, max_grad_accum=2)
+    trainer = Trainer(TINY, cfg, compute_dtype=jnp.float32, logger=None)
+    state, _ = trainer.init_or_resume()
+
+    rng = np.random.default_rng(0)
+
+    def micro(b, n, nt):
+        return {
+            "mel": rng.standard_normal((b, n, TINY.model.mel_dim)).astype(np.float32),
+            "text": rng.integers(0, 18, (b, nt)).astype(np.int32),
+            "lens": np.full((b,), n, np.int32),
+        }
+
+    # unequal rows/frames/text lengths across micro-batches
+    batches = [micro(2, 32, 10), micro(3, 48, 8), micro(2, 48, 12), micro(2, 32, 10)]
+    grouped = list(group_micro_batches(iter(batches), 2))
+    assert len(grouped) == 2
+    assert grouped[0]["mel"].shape == (2, 3, 48, TINY.model.mel_dim)
+    assert grouped[0]["lens"][0, 2] == 0  # padded row selects nothing
+    assert (grouped[0]["text"][0, :, 10:] == -1).all()
+
+    state2 = trainer.fit(state, iter(batches))
+    assert int(state2["step"]) == 2  # 4 micro-batches -> 2 optimizer updates
