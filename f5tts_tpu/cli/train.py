@@ -53,6 +53,8 @@ def main(argv=None):
                    help="micro-batches per optimizer update (use with a reduced --batch-frames to fit HBM)")
     p.add_argument("--max-samples", type=int, default=64)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"],
+                   help="auto = differentiable flash kernels single-device (42%% faster, BENCH.md), xla under a mesh")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
@@ -103,6 +105,14 @@ def main(argv=None):
         max_grad_accum=args.grad_accum,
     )
     mesh = build_mesh(model_parallel=args.model_parallel) if jax.device_count() > 1 else None
+
+    attn = args.attn if args.attn != "auto" else ("flash" if mesh is None else "xla")
+    if attn != model_cfg.model.attn_impl:
+        import dataclasses
+
+        from f5tts_tpu.models.cfm import CFMConfig
+
+        model_cfg = CFMConfig(model=dataclasses.replace(model_cfg.model, attn_impl=attn))
 
     trainer = Trainer(
         model_cfg, train_cfg, mesh=mesh,

@@ -445,11 +445,26 @@ def attention(p, x, heads: int, rope_freqs=None, mask=None, impl: str = "xla", r
         k = apply_rotary_per_head(k, rope_freqs)
 
     if impl == "flash":
-        from f5tts_tpu.ops.pallas.flash_attention import flash_attention
-
-        # rope rides into the kernel (saves a full HBM rewrite of q and k)
         rf = jnp.asarray(rope_freqs) if rope_freqs is not None else None
-        o = flash_attention(q, k, v, mask, rope_freqs=rf, rope_all_heads=rope_all_heads)
+        if dropout_rng is not None:
+            # training forward: differentiable kernels (custom-VJP flash);
+            # rope applied at XLA level — its gradient is then automatic
+            from f5tts_tpu.ops.pallas.flash_attention import flash_attention_train
+            from f5tts_tpu.ops.rope import apply_rotary_per_head
+
+            if rf is not None:
+                if rope_all_heads:
+                    q = apply_rotary_per_head(q, rf)
+                    k = apply_rotary_per_head(k, rf)
+                else:
+                    q = jnp.concatenate([apply_rotary_per_head(q[:, :1], rf), q[:, 1:]], 1)
+                    k = jnp.concatenate([apply_rotary_per_head(k[:, :1], rf), k[:, 1:]], 1)
+            o = flash_attention_train(q, k, v, mask)
+        else:
+            from f5tts_tpu.ops.pallas.flash_attention import flash_attention
+
+            # serving: rope rides into the kernel (saves an HBM q/k rewrite)
+            o = flash_attention(q, k, v, mask, rope_freqs=rf, rope_all_heads=rope_all_heads)
     elif impl == "ring":
         # context-parallel: sequence axis sharded over the ambient mesh's
         # 'cp' axis (jax.sharding.set_mesh); see parallel/ring_attention.py

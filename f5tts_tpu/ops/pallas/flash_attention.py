@@ -368,3 +368,147 @@ def flash_attention(
         # compile (reproduced: identical kernel compiles in 0.5 s without it).
     )(bias, flat(q), flat(k), flat(v))
     return out.reshape(b, h, n, d)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (training path)
+# ---------------------------------------------------------------------------
+# The serving kernels above are forward-only (pallas_call has no autodiff
+# rule). For training, `flash_attention_train` pairs a forward kernel that
+# also emits the per-row logsumexp with a whole-row backward kernel
+# (FlashAttention-2 style: recompute P from (q, k, lse), then
+# dv = P^T do, dS = P (do v^T - D), dq = dS k, dk = dS^T q with
+# D = rowsum(do * o)), wrapped in jax.custom_vjp. Neither pass materializes
+# the n^2 matrix in HBM — the XLA SDPA backward does, which is what bounds
+# training micro-batches (BENCH.md). Single-pass shapes only (whole key row
+# in VMEM, n <= 1024); larger n falls back to XLA SDPA.
+
+
+def _flash_fwd_lse_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_bwd_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0])  # (n, n) rows normalized by saved lse
+    dv = jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # p^T @ do
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0])  # (n, n) f32
+    ds_c = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _train_supported(n: int, d: int) -> bool:
+    return n <= 1024 and n % 128 == 0 and d <= 128
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_train_core(q, k, v, bias, interpret):
+    o, _ = _flash_train_fwd_impl(q, k, v, bias, interpret)
+    return o
+
+
+def _flash_train_fwd_impl(q, k, v, bias, interpret):
+    b, h, n, d = q.shape
+    block_q = next(c for c in (512, 384, 256, 128) if c <= n and n % c == 0)
+
+    def flat(t):
+        return t.reshape(b * h, n, d)
+
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lse_kernel, scale=d**-0.5),
+        grid=(b * h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda bh, qi: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bias, flat(q), flat(k), flat(v))
+    return o.reshape(b, h, n, d), lse.reshape(b, h, n, 1)
+
+
+def _flash_train_fwd(q, k, v, bias, interpret):
+    o, lse = _flash_train_fwd_impl(q, k, v, bias, interpret)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _flash_train_bwd(interpret, res, do):
+    q, k, v, bias, o, lse = res
+    b, h, n, d = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def flat(t):
+        return t.reshape(b * h, n, -1)
+
+    row = pl.BlockSpec((1, n, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((1, n, 1), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=d**-0.5),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda bh: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            row, row, row, row, col, col,
+        ],
+        out_specs=[row, row, row],
+        out_shape=[jax.ShapeDtypeStruct((b * h, n, d), q.dtype)] * 3,
+        interpret=interpret,
+    )(bias, flat(q), flat(k), flat(v), flat(do), flat(lse), flat(delta))
+    shape = (b, h, n, d)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape), jnp.zeros_like(bias)
+
+
+_flash_train_core.defvjp(_flash_train_fwd, _flash_train_bwd)
+
+
+def flash_attention_train(
+    q: jnp.ndarray,  # (b, h, n, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Differentiable flash attention (training). Falls back to XLA SDPA when
+    the shape doesn't fit the single-pass kernels."""
+    b, h, n, d = q.shape
+    if not _train_supported(n, d):
+        from f5tts_tpu.ops.attention import sdpa_xla
+
+        return sdpa_xla(q, k, v, key_mask)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if key_mask is None:
+        bias = jnp.zeros((b, 1, n), jnp.float32)
+    else:
+        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    return _flash_train_core(q, k, v, bias, interpret)

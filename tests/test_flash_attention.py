@@ -134,3 +134,68 @@ def test_fused_rope_matches_external_rope():
         ref = sdpa_xla(apply_rotary_per_head(q, freqs), apply_rotary_per_head(k, freqs),
                        v, jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(out)[sel], np.asarray(ref)[sel], atol=3e-5, rtol=1e-4)
+
+
+def test_flash_train_gradients_match_sdpa():
+    """Differentiable flash (custom-VJP fwd/bwd kernels) == XLA SDPA gradients."""
+    from f5tts_tpu.ops.attention import sdpa_xla
+    from f5tts_tpu.ops.pallas.flash_attention import flash_attention_train
+
+    rng = np.random.default_rng(30)
+    b, h, n, d = 2, 3, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    mask = np.ones((b, n), bool)
+    mask[0, 200:] = False
+    mj = jnp.asarray(mask)
+    # query-side weighting zeroes padded rows so their (garbage) outputs
+    # don't enter the loss — the caller's contract (modules.py:429-434)
+    wq = jnp.asarray(mask, jnp.float32)[:, None, :, None]
+    tgt = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(jnp.square((fn(q, k, v, mj) - tgt) * wq))
+        return f
+
+    o_flash = flash_attention_train(q, k, v, mj, interpret=True)
+    o_ref = sdpa_xla(q, k, v, mj)
+    sel = mask[:, None, :, None] & np.ones((1, h, 1, d), bool)
+    np.testing.assert_allclose(np.asarray(o_flash)[sel], np.asarray(o_ref)[sel], atol=2e-5, rtol=1e-5)
+
+    g_flash = jax.grad(loss(lambda *a: flash_attention_train(*a, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(sdpa_xla), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
+
+def test_train_step_with_flash_attention():
+    """A full CFM train step differentiates through the flash kernels."""
+    import dataclasses
+
+    from f5tts_tpu.models.cfm import CFMConfig, cfm_loss
+    from f5tts_tpu.models.dit import DiTConfig, init_dit
+
+    cfg = CFMConfig(model=DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=8,
+        text_num_embeds=20, text_dim=16, conv_layers=1, max_pos=256, attn_impl="flash",
+    ))
+    params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, 128, 8)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 18, (2, 10)), jnp.int32)
+    lens = jnp.full((2,), 128, jnp.int32)
+
+    def f(p):
+        return cfm_loss(p, cfg, jax.random.PRNGKey(2), mel, text, lens)[0]
+
+    loss, grads = jax.value_and_grad(f)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(sum(float(jnp.sum(jnp.square(g))) for g in jax.tree.leaves(grads)) ** 0.5)
+    assert gnorm > 0 and np.isfinite(gnorm)
+
+    # matches the xla-attention loss value (same forward math)
+    cfg_x = CFMConfig(model=dataclasses.replace(cfg.model, attn_impl="xla"))
+    loss_x = cfm_loss(params, cfg_x, jax.random.PRNGKey(2), mel, text, lens)[0]
+    np.testing.assert_allclose(float(loss), float(loss_x), rtol=1e-4)
