@@ -37,7 +37,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fix-duration", type=float, default=None, help="total duration seconds")
     p.add_argument("--cross-fade", type=float, default=0.15)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    p.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"],
+                   help="auto = flash kernels on TPU, XLA elsewhere")
     p.add_argument("--remove-silence", action="store_true")
     p.add_argument("--demo-tiny", action="store_true", help="random-init tiny model (no checkpoint smoke test)")
     return p
@@ -71,6 +72,9 @@ def parser_default(dest):
 
 def build_engine(args):
     import jax
+
+    if args.attn == "auto":
+        args.attn = "flash" if jax.default_backend() == "tpu" else "xla"
 
     from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
     from f5tts_tpu.models.dit import DiTConfig, init_dit

@@ -33,7 +33,7 @@ def main(argv=None):
         ("--nfe", dict(type=int, default=32)), ("--cfg-strength", dict(type=float, default=2.0)),
         ("--sway", dict(type=float, default=-1.0)), ("--speed", dict(type=float, default=1.0)),
         ("--seed", dict(type=int, default=None)), ("--dtype", dict(default="bfloat16")),
-        ("--attn", dict(default="xla")), ("--cross-fade", dict(type=float, default=0.15)),
+        ("--attn", dict(default="auto")), ("--cross-fade", dict(type=float, default=0.15)),
         ("--demo-tiny", dict(action="store_true")),
     ]:
         p.add_argument(flag, **kw)

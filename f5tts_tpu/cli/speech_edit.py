@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--vocab-file", default="")
     p.add_argument("--vocoder-ckpt", default="")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--attn", default="xla")
+    p.add_argument("--attn", default="auto")
     p.add_argument("--speed", type=float, default=1.0)
     p.add_argument("--cross-fade", type=float, default=0.15)
     p.add_argument("--demo-tiny", action="store_true")

@@ -89,11 +89,14 @@ class ModelService:
         from f5tts_tpu.text.tokenizer import Tokenizer
 
         s = self.settings
+        # flash kernels on the TPU; XLA elsewhere (interpret-mode pallas is
+        # only for tests). conv_pos_impl is flipped by the engine itself.
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
         if s.demo_tiny:
             mel_cfg = MelConfig(n_mels=20)
             dit_cfg = DiTConfig(
                 dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
-                text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024,
+                text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024, attn_impl=attn,
             )
             voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
             tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
@@ -107,7 +110,9 @@ class ModelService:
             from f5tts_tpu.models.convert import load_f5_checkpoint, load_vocos_checkpoint
 
             tok = Tokenizer.from_file(s.tts_vocab)
-            dit_cfg = DiTConfig(**{**DiTConfig.base().__dict__, "text_num_embeds": tok.vocab_size})
+            dit_cfg = DiTConfig(
+                **{**DiTConfig.base().__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": attn}
+            )
             voc_cfg = VocosConfig()
             dit_params = load_f5_checkpoint(s.tts_ckpt, dit_cfg)
             voc_params = load_vocos_checkpoint(s.vocoder_ckpt, voc_cfg)
