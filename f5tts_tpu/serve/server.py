@@ -123,8 +123,12 @@ class ModelService:
         self.batcher = ContinuousBatcher(self.engine, s.max_batch, s.batch_wait_ms).start()
         self._load_voices()
         if s.warmup:
-            log.info("warming up (compiling smallest bucket)...")
-            self.engine.warmup()
+            batches = [int(v) for v in str(s.warmup_batches).split(",") if v.strip()]
+            log.info("warming up (duration bucket %d, batch buckets %s)...",
+                     self.engine.cfg.duration_buckets[0], batches)
+            self.engine.warmup(
+                buckets=[(self.engine.cfg.duration_buckets[0], b) for b in batches]
+            )
         log.info("models loaded (demo_tiny=%s)", s.demo_tiny)
 
     def _load_voices(self):

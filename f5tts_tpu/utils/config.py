@@ -46,6 +46,9 @@ class Settings:
     max_batch: int = 32
     batch_wait_ms: float = 15.0
     warmup: bool = True  # pre-compile the smallest bucket at load
+    # comma list of batch buckets to pre-compile at the smallest duration
+    # bucket (first co-arriving burst otherwise pays a cold compile)
+    warmup_batches: str = "1"
     config_name: str = ""
 
     def __post_init__(self):
