@@ -70,3 +70,96 @@ class ARTTSEngine:
             n_samples = max((int(lengths[i]) - 1) * self.cfg.hop_length, 0)
             out.append(wave[i, :n_samples])
         return out
+
+
+# ---------------------------------------------------------------------------
+# ParlerTTS-architecture engine (description-conditioned codec decoding)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ParlerEngineConfig:
+    max_frames: int = 256
+    desc_pad: int = 64
+    prompt_pad: int = 64
+    temperature: float = 1.0
+    top_k: int = 0
+    eos_token: int = 1024
+    compute_dtype: str = "bfloat16"
+
+
+class ParlerTTSEngine:
+    """Batched serving wrapper over the ParlerTTS-compatible branch
+    (models/parler.py): T5-encode the style description once per request,
+    generate DAC codes with the delay-pattern KV-cache decode, vocode with the
+    DAC decoder. One jitted program per (batch, frames) bucket — BASELINE
+    config #3 runs this at batch 16.
+
+    Token ids come from the caller (the real checkpoint's T5 tokenizer is a
+    sentencepiece asset fetched with the weights; any callable
+    ``texts -> (ids, mask)`` plugs in via ``encode_fn``).
+    """
+
+    def __init__(self, t5_params, t5_cfg, dec_params, dec_cfg, dac_params, dac_cfg,
+                 cfg: ParlerEngineConfig = ParlerEngineConfig(), encode_fn=None):
+        from f5tts_tpu.models import parler as P
+
+        self.P = P
+        self.t5_params, self.t5_cfg = t5_params, t5_cfg
+        self.dec_params, self.dec_cfg = dec_params, dec_cfg
+        self.dac_params, self.dac_cfg = dac_params, dac_cfg
+        self.cfg = cfg
+        self.encode_fn = encode_fn
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._cache: dict = {}
+
+    def _pad_ids(self, ids_list, pad_to):
+        b = len(ids_list)
+        out = np.zeros((b, pad_to), np.int32)
+        mask = np.zeros((b, pad_to), bool)
+        for i, ids in enumerate(ids_list):
+            ids = np.asarray(ids, np.int32)[:pad_to]
+            out[i, : len(ids)] = ids
+            mask[i, : len(ids)] = True
+        return out, mask
+
+    def _compiled(self, batch: int, frames: int):
+        key = (batch, frames)
+        if key in self._cache:
+            return self._cache[key]
+        P, cfg = self.P, self.cfg
+
+        def fn(t5_p, dec_p, dac_p, desc, desc_mask, prompt, prompt_mask, rng):
+            enc = P.t5_encode(t5_p, self.t5_cfg, desc, desc_mask,
+                              compute_dtype=self.compute_dtype)
+            codes, lengths = P.parler_generate(
+                dec_p, self.dec_cfg, enc, desc_mask, frames, rng,
+                prompt_ids=prompt, prompt_mask=prompt_mask,
+                eos_token=cfg.eos_token, temperature=cfg.temperature,
+                top_k=cfg.top_k, compute_dtype=self.compute_dtype)
+            wave = P.dac_decode_codes(dac_p, codes, self.dac_cfg,
+                                      compute_dtype=self.compute_dtype)
+            return codes, lengths, wave
+
+        self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def synthesize_batch(self, descriptions, prompts, seed: int = 0,
+                         frames: int | None = None) -> list[np.ndarray]:
+        """descriptions/prompts: lists of token-id sequences (or raw strings
+        when ``encode_fn`` is set). Returns float32 waves at the DAC rate,
+        trimmed to each row's predicted length."""
+        if self.encode_fn is not None:
+            descriptions = [self.encode_fn(d) for d in descriptions]
+            prompts = [self.encode_fn(p) for p in prompts]
+        frames = self.cfg.max_frames if frames is None else frames
+        desc, desc_mask = self._pad_ids(descriptions, self.cfg.desc_pad)
+        prompt, prompt_mask = self._pad_ids(prompts, self.cfg.prompt_pad)
+        fn = self._compiled(len(descriptions), frames)
+        _, lengths, wave = fn(self.t5_params, self.dec_params, self.dac_params,
+                              jnp.asarray(desc), jnp.asarray(desc_mask),
+                              jnp.asarray(prompt), jnp.asarray(prompt_mask),
+                              jax.random.PRNGKey(seed))
+        wave = np.asarray(wave, np.float32)
+        lengths = np.asarray(lengths)
+        return [wave[i, : int(lengths[i]) * self.dac_cfg.hop] for i in range(len(wave))]

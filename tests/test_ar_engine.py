@@ -25,3 +25,36 @@ def test_ar_engine_batch():
     for w in waves:
         assert w.ndim == 1
         assert np.all(np.isfinite(w))
+
+
+def test_parler_engine_batch16():
+    """BASELINE config #3 geometry: ParlerTTS-architecture branch at batch 16."""
+    from f5tts_tpu.engine.ar_engine import ParlerEngineConfig, ParlerTTSEngine
+    from f5tts_tpu.models import parler as P
+
+    t5 = P.T5Config(vocab=60, d_model=24, d_kv=6, d_ff=32, heads=4, layers=2,
+                    rel_buckets=8, rel_max_dist=20)
+    dec = P.ParlerDecoderConfig(vocab=40, codebooks=4, hidden=32, layers=2,
+                                heads=4, ffn=48, cross_dim=24, prompt_vocab=60)
+    dac = P.DacConfig(num_codebooks=4, codebook_size=40, codebook_dim=6,
+                      latent_dim=24, decoder_dim=16, rates=(4, 2))
+    kt, kd, kq = jax.random.split(jax.random.PRNGKey(0), 3)
+    eng = ParlerTTSEngine(
+        P.init_t5_encoder(kt, t5), t5,
+        P.init_parler_decoder(kd, dec), dec,
+        P.init_dac_decoder(kq, dac), dac,
+        ParlerEngineConfig(max_frames=8, desc_pad=12, prompt_pad=10,
+                           temperature=0.8, top_k=4, eos_token=3,
+                           compute_dtype="float32"),
+        encode_fn=lambda s: [ord(c) % 60 for c in s],
+    )
+    descs = [f"a calm speaker number {i}" for i in range(16)]
+    prompts = [f"utterance {i}" for i in range(16)]
+    waves = eng.synthesize_batch(descs, prompts)
+    assert len(waves) == 16
+    for w in waves:
+        assert w.ndim == 1 and len(w) <= 8 * dac.hop
+        assert np.all(np.isfinite(w))
+    # same seed -> deterministic
+    waves2 = eng.synthesize_batch(descs, prompts)
+    np.testing.assert_array_equal(waves[0], waves2[0])

@@ -1,0 +1,286 @@
+"""Parler-TTS branch goldens vs the torch implementations in `transformers`.
+
+The reference serves `ai4bharat/indic-parler-tts` purely as an external HF
+component (`dhwani_config.json:81`); its architecture is ParlerTTS = T5
+description encoder + MusicGen-style codebook decoder + DAC codec. These
+tests pin our native JAX modules against the torch T5EncoderModel /
+MusicgenForCausalLM / DacModel with random weights (the real checkpoint is
+not fetchable here; the converters accept its state-dict naming).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from f5tts_tpu.models import parler as P
+
+
+def _seed():
+    torch.manual_seed(0)
+    np.random.seed(0)
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder
+# ---------------------------------------------------------------------------
+
+
+def _tiny_t5():
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    hf_cfg = HFT5Config(
+        vocab_size=50, d_model=32, d_kv=8, d_ff=48, num_layers=3, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0, use_cache=False,
+    )
+    model = T5EncoderModel(hf_cfg).eval()
+    cfg = P.T5Config(vocab=50, d_model=32, d_kv=8, d_ff=48, heads=4, layers=3,
+                     rel_buckets=8, rel_max_dist=20)
+    return model, cfg
+
+
+def test_t5_encoder_golden():
+    _seed()
+    model, cfg = _tiny_t5()
+    ids = np.random.randint(0, cfg.vocab, (2, 11)).astype(np.int32)
+    mask = np.ones((2, 11), bool)
+    mask[1, 7:] = False
+    ids[~mask] = 0
+
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(ids).long(),
+                    attention_mask=torch.from_numpy(mask).long()).last_hidden_state.numpy()
+
+    params = P.convert_t5_encoder(model.state_dict(), cfg)
+    out = np.asarray(P.t5_encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(out[mask], ref[mask], atol=2e-5, rtol=1e-4)
+
+
+def test_t5_relative_bucket_matches_torch():
+    _seed()
+    from transformers.models.t5.modeling_t5 import T5Attention
+
+    n = 23
+    pos = torch.arange(n)
+    rel = pos[None, :] - pos[:, None]
+    ref = T5Attention._relative_position_bucket(rel, bidirectional=True,
+                                                num_buckets=8, max_distance=20).numpy()
+    mine = np.asarray(P._rel_bucket(jnp.asarray(rel.numpy()), 8, 20))
+    np.testing.assert_array_equal(mine, ref)
+
+
+# ---------------------------------------------------------------------------
+# codebook decoder vs MusicgenForCausalLM
+# ---------------------------------------------------------------------------
+
+
+def _tiny_musicgen():
+    from transformers.models.musicgen.configuration_musicgen import MusicgenDecoderConfig
+    from transformers.models.musicgen.modeling_musicgen import MusicgenForCausalLM
+
+    hf_cfg = MusicgenDecoderConfig(
+        vocab_size=40, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        ffn_dim=64, num_codebooks=3, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, max_position_embeddings=256, audio_channels=1,
+        scale_embedding=False, activation_function="gelu",
+    )
+    model = MusicgenForCausalLM(hf_cfg).eval()
+    cfg = P.ParlerDecoderConfig(vocab=40, codebooks=3, hidden=32, layers=2,
+                                heads=4, ffn=64, cross_dim=32, prompt_vocab=16)
+    return model, cfg
+
+
+def test_parler_decoder_forward_golden():
+    _seed()
+    model, cfg = _tiny_musicgen()
+    b, n, m_len = 2, 9, 6
+    codes = np.random.randint(0, cfg.vocab + 1, (b, cfg.codebooks, n)).astype(np.int32)
+    enc = np.random.randn(b, m_len, cfg.hidden).astype(np.float32)
+    enc_mask = np.ones((b, m_len), bool)
+    enc_mask[1, 4:] = False
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.from_numpy(codes.reshape(b * cfg.codebooks, n)).long(),
+            encoder_hidden_states=torch.from_numpy(enc),
+            encoder_attention_mask=torch.from_numpy(enc_mask).long(),
+        ).logits.numpy().reshape(b, cfg.codebooks, n, cfg.vocab)
+
+    params = P.convert_parler_decoder(model.state_dict(), cfg)
+    out = np.asarray(P.parler_decoder_forward(
+        params, cfg, jnp.asarray(codes), jnp.asarray(enc), jnp.asarray(enc_mask)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_delay_pattern_matches_hf():
+    _seed()
+    model, cfg = _tiny_musicgen()
+    b, n = 2, 5
+    K, pad = cfg.codebooks, cfg.vocab
+    codes = np.random.randint(0, cfg.vocab, (b, K, n)).astype(np.int64)
+
+    # HF's contract includes the leading BOS position (positions <= k forced
+    # to pad); ours is the pure shifted stream. [BOS ; build(codes)] == HF
+    # applied to [BOS ; codes].
+    hf_in = np.concatenate([np.full((b, K, 1), pad), codes], axis=2)
+    _, hf_pattern = model.build_delay_pattern_mask(
+        torch.from_numpy(hf_in.reshape(b * K, n + 1)), pad_token_id=pad, max_length=n + K)
+    mine = np.concatenate(
+        [np.full((b, K, 1), pad), P.build_delay_pattern(codes, pad, n + K - 1)], axis=2)
+    np.testing.assert_array_equal(mine.reshape(b * K, n + K), hf_pattern.numpy())
+
+    # revert is the exact inverse on the valid span
+    rt = np.asarray(P.revert_delay_pattern(
+        jnp.asarray(P.build_delay_pattern(codes, pad, n + K - 1)), n))
+    np.testing.assert_array_equal(rt, codes)
+
+
+def test_parler_generate_consistent_with_forward():
+    """KV-cache incremental decode == teacher-forced forward (and == torch),
+    verified by replaying the greedy generation through both full passes."""
+    _seed()
+    model, cfg = _tiny_musicgen()
+    b, m_len, frames = 2, 6, 5
+    K, pad = cfg.codebooks, cfg.vocab
+    enc = np.random.randn(b, m_len, cfg.hidden).astype(np.float32)
+    params = P.convert_parler_decoder(model.state_dict(), cfg)
+
+    codes, lengths = P.parler_generate(
+        params, cfg, jnp.asarray(enc), None, frames, jax.random.PRNGKey(0),
+        temperature=0.0, eos_token=-1)
+    codes = np.asarray(codes)
+    assert codes.shape == (b, K, frames) and np.all(np.asarray(lengths) == frames)
+
+    # rebuild the delayed stream the generator walked: [BOS ; delayed codes]
+    steps = frames + K - 1
+    delayed = P.build_delay_pattern(codes, pad, steps)
+    full = np.concatenate([np.full((b, K, 1), pad), delayed], axis=2)  # bos==pad slot
+
+    logits_mine = np.asarray(P.parler_decoder_forward(
+        params, cfg, jnp.asarray(full[..., :-1].astype(np.int32)), jnp.asarray(enc), None))
+    with torch.no_grad():
+        logits_ref = model(
+            input_ids=torch.from_numpy(full[..., :-1].reshape(b * K, steps)).long(),
+            encoder_hidden_states=torch.from_numpy(enc),
+        ).logits.numpy().reshape(b, K, steps, cfg.vocab)
+
+    # positions whose *target* is a real (non-forced) token
+    idx = np.arange(steps)[None, :] - np.arange(K)[:, None]  # target pos j+1 -> code idx j-k
+    valid = (idx >= 0) & (idx < frames)
+    valid = np.broadcast_to(valid[None], (b, K, steps))
+    np.testing.assert_array_equal(
+        logits_mine.argmax(-1)[valid], full[..., 1:][valid])
+    np.testing.assert_array_equal(
+        logits_ref.argmax(-1)[valid], full[..., 1:][valid])
+
+
+def test_parler_generate_eos_and_prompt():
+    _seed()
+    model, cfg = _tiny_musicgen()
+    b, m_len, frames, p = 2, 4, 6, 5
+    enc = np.random.randn(b, m_len, cfg.hidden).astype(np.float32)
+    params = P.convert_parler_decoder(model.state_dict(), cfg)
+    prompt = np.random.randint(0, cfg.prompt_vocab, (b, p)).astype(np.int32)
+    pmask = np.ones((b, p), bool)
+    pmask[0, 3:] = False
+
+    codes, lengths = P.parler_generate(
+        params, cfg, jnp.asarray(enc), None, frames, jax.random.PRNGKey(1),
+        prompt_ids=jnp.asarray(prompt), prompt_mask=jnp.asarray(pmask),
+        temperature=0.7, top_k=8, eos_token=3)
+    codes, lengths = np.asarray(codes), np.asarray(lengths)
+    assert codes.shape == (b, cfg.codebooks, frames)
+    assert np.all((lengths >= 0) & (lengths <= frames))
+    # past-length frames are zeroed (DAC-safe), in-range codes stay in vocab
+    for i in range(b):
+        assert np.all(codes[i, :, lengths[i]:] == 0)
+    assert codes.max() < cfg.vocab and codes.min() >= 0
+
+
+# ---------------------------------------------------------------------------
+# DAC codec decoder
+# ---------------------------------------------------------------------------
+
+
+def _tiny_dac():
+    from transformers import DacConfig as HFDacConfig
+    from transformers import DacModel
+
+    hf_cfg = HFDacConfig(
+        encoder_hidden_size=16, downsampling_ratios=[2, 4], decoder_hidden_size=16,
+        upsampling_ratios=[4, 2], n_codebooks=4, codebook_size=32, codebook_dim=6,
+        hidden_size=24, sampling_rate=16000,
+    )
+    model = DacModel(hf_cfg).eval()
+    cfg = P.DacConfig(num_codebooks=4, codebook_size=32, codebook_dim=6,
+                      latent_dim=24, decoder_dim=16, rates=(4, 2))
+    return model, cfg
+
+
+def test_dac_decode_golden():
+    _seed()
+    model, cfg = _tiny_dac()
+    b, n = 2, 12
+    codes = np.random.randint(0, cfg.codebook_size, (b, cfg.num_codebooks, n))
+
+    with torch.no_grad():
+        ref = model.decode(audio_codes=torch.from_numpy(codes).long()).audio_values.numpy()
+
+    params = P.convert_dac(model.state_dict(), cfg)
+    out = np.asarray(P.dac_decode_codes(params, jnp.asarray(codes), cfg))
+    assert out.shape == (b, n * cfg.hop)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_dac_weight_norm_folding():
+    _seed()
+    model, cfg = _tiny_dac()
+    codes = np.random.randint(0, cfg.codebook_size, (1, cfg.num_codebooks, 7))
+    plain = P.convert_dac(model.state_dict(), cfg)
+    model.apply_weight_norm()
+    folded = P.convert_dac(model.state_dict(), cfg)
+    a = np.asarray(P.dac_decode_codes(plain, jnp.asarray(codes), cfg))
+    b_ = np.asarray(P.dac_decode_codes(folded, jnp.asarray(codes), cfg))
+    np.testing.assert_allclose(a, b_, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full non-flow stack, BASELINE config #3 geometry (batch 16)
+# ---------------------------------------------------------------------------
+
+
+def test_parler_full_stack_batch16():
+    _seed()
+    t5 = P.T5Config(vocab=50, d_model=24, d_kv=6, d_ff=32, heads=4, layers=2,
+                    rel_buckets=8, rel_max_dist=20)
+    dec = P.ParlerDecoderConfig(vocab=40, codebooks=4, hidden=32, layers=2,
+                                heads=4, ffn=48, cross_dim=24, prompt_vocab=50)
+    dac = P.DacConfig(num_codebooks=4, codebook_size=40, codebook_dim=6,
+                      latent_dim=24, decoder_dim=16, rates=(4, 2))
+    kt, kd, kq, kg = jax.random.split(jax.random.PRNGKey(0), 4)
+    t5_p = P.init_t5_encoder(kt, t5)
+    dec_p = P.init_parler_decoder(kd, dec)
+    dac_p = P.init_dac_decoder(kq, dac)
+
+    b, frames = 16, 6
+    desc = jnp.asarray(np.random.randint(0, 50, (b, 7)).astype(np.int32))
+    prompt = jnp.asarray(np.random.randint(0, 50, (b, 5)).astype(np.int32))
+
+    def synth(desc, prompt):
+        enc = P.t5_encode(t5_p, t5, desc)
+        codes, lengths = P.parler_generate(
+            dec_p, dec, enc, None, frames, kg, prompt_ids=prompt,
+            temperature=0.9, top_k=4, eos_token=-1)
+        wave = P.dac_decode_codes(dac_p, codes, dac)
+        return codes, lengths, wave
+
+    codes, lengths, wave = jax.jit(synth)(desc, prompt)
+    assert wave.shape == (b, frames * dac.hop)
+    assert np.all(np.isfinite(np.asarray(wave)))
+    assert codes.shape == (b, dec.codebooks, frames)
