@@ -189,6 +189,7 @@ class TTSEngine:
             # a configured pruned time grid only applies at its own step count
             # (per-request nfe_step overrides fall back to the sway grid)
             time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
+            cfg_interval=self.cfg.sampler.cfg_interval,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
@@ -219,6 +220,7 @@ class TTSEngine:
             steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
             method=self.cfg.sampler.method,
             time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
+            cfg_interval=self.cfg.sampler.cfg_interval,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, seeds):

@@ -42,6 +42,12 @@ class SamplerConfig:
     # Explicit ODE time knots overriding steps/sway (training-free step
     # pruning a la EPSS, arXiv:2505.19931): monotone, from 0.0 to 1.0.
     time_grid: tuple[float, ...] | None = None
+    # Guidance interval (Kynkäänniemi et al. 2024, arXiv:2404.07724): apply
+    # CFG only on steps whose t0 falls in [lo, hi); elsewhere run the plain
+    # cond branch at batch b instead of the fused 2b pair. (0, 1) = always
+    # (the reference's behavior, ``cfm.py:167-176``). Training-free compute
+    # saving: each skipped step costs one DiT forward instead of two.
+    cfg_interval: tuple[float, float] = (0.0, 1.0)
 
 
 def sway_time_grid(steps: int, coef: float | None, t_start: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
@@ -118,6 +124,7 @@ def sample_cfm(
     use_cfg = sampler.cfg_strength >= 1e-5
     f = jnp.zeros((b,), dtype=bool)
 
+    velocity_plain = None
     if use_cfg:
         # one fused forward of batch 2b: [cond branch; null branch]
         text2 = jnp.concatenate([text, text], axis=0)
@@ -145,6 +152,27 @@ def sample_cfm(
             pred, null_pred = out[:b], out[b:]
             return pred + (pred - null_pred) * sampler.cfg_strength
 
+        lo, hi = sampler.cfg_interval
+        if (lo, hi) != (0.0, 1.0):
+            # plain cond-branch forward for steps outside the guidance
+            # interval; reuses the cond half of the fused text embedding
+            text_emb1 = jax.tree.map(lambda e: e[:b] if hasattr(e, "shape") else e, text_emb2)
+
+            def velocity_plain(t_scalar, x):
+                return forward_fn(
+                    params,
+                    model_cfg,
+                    x,
+                    step_cond,
+                    None,
+                    jnp.broadcast_to(t_scalar, (b,)).astype(compute_dtype),
+                    f,
+                    f,
+                    attn_mask,
+                    text_emb=text_emb1,
+                    compute_dtype=compute_dtype,
+                )
+
     else:
         text_emb = embed_fn(params, model_cfg, text, n, f)
 
@@ -171,24 +199,46 @@ def sample_cfm(
     else:
         t_grid = sway_time_grid(sampler.steps, sampler.sway_sampling_coef, dtype=compute_dtype)
 
-    if sampler.method == "euler":
+    def make_step(vel):
+        if sampler.method == "euler":
 
-        def step(y, ts):
-            t0, t1 = ts
-            y = y + (t1 - t0) * velocity(t0, y)
-            return y, None
+            def step(y, ts):
+                t0, t1 = ts
+                y = y + (t1 - t0) * vel(t0, y)
+                return y, None
 
-    elif sampler.method == "midpoint":
+        elif sampler.method == "midpoint":
 
-        def step(y, ts):
-            t0, t1 = ts
-            dt = t1 - t0
-            y_mid = y + 0.5 * dt * velocity(t0, y)
-            y = y + dt * velocity(t0 + 0.5 * dt, y_mid)
-            return y, None
+            def step(y, ts):
+                t0, t1 = ts
+                dt = t1 - t0
+                y_mid = y + 0.5 * dt * vel(t0, y)
+                y = y + dt * vel(t0 + 0.5 * dt, y_mid)
+                return y, None
 
+        else:
+            raise ValueError(f"unknown ODE method {sampler.method!r}")
+
+        return step
+
+    if velocity_plain is None:
+        y_final, _ = lax.scan(make_step(velocity), y0, (t_grid[:-1], t_grid[1:]))
     else:
-        raise ValueError(f"unknown ODE method {sampler.method!r}")
+        # partition the (static) knot sequence into contiguous runs of
+        # guided / unguided steps and scan each run with the matching body
+        import numpy as np
 
-    y_final, _ = lax.scan(step, y0, (t_grid[:-1], t_grid[1:]))
+        t_np = np.asarray(jax.device_get(t_grid), np.float64)
+        lo, hi = sampler.cfg_interval
+        flags = [bool(lo <= t0 < hi) for t0 in t_np[:-1]]
+        y_final = y0
+        i = 0
+        while i < len(flags):
+            j = i
+            while j < len(flags) and flags[j] == flags[i]:
+                j += 1
+            seg = t_grid[i : j + 1]
+            vel = velocity if flags[i] else velocity_plain
+            y_final, _ = lax.scan(make_step(vel), y_final, (seg[:-1], seg[1:]))
+            i = j
     return jnp.where(cond_mask[..., None], cond, y_final)

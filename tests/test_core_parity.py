@@ -237,3 +237,33 @@ def test_custom_time_grid(tiny_params):
 
     with pytest.raises(ValueError):
         sample_cfm(tiny_params, TINY, sampler=SamplerConfig(time_grid=(0.0, 0.5, 0.4, 1.0)), **kw)
+
+
+def test_cfg_interval(tiny_params):
+    """SamplerConfig.cfg_interval: an interval covering every step reproduces
+    the default exactly (partition machinery is lossless); an interval
+    covering none matches the unguided (cfg_strength=0) path; a middle
+    interval runs and sits between the two."""
+    tiny_params, _ = tiny_params
+    rng = np.random.default_rng(13)
+    cond = jnp.asarray(rng.standard_normal((2, 40, TINY.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 20, (2, 12)), jnp.int32)
+    kw = dict(cond=cond, cond_lens=jnp.asarray([12, 9]), text=text,
+              duration=jnp.asarray([40, 33]), seeds=jnp.asarray([3, 4]))
+
+    base = sample_cfm(tiny_params, TINY, sampler=SamplerConfig(steps=4), **kw)
+    full = sample_cfm(
+        tiny_params, TINY, sampler=SamplerConfig(steps=4, cfg_interval=(0.0, 2.0)), **kw)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(full), atol=1e-6)
+
+    none = sample_cfm(
+        tiny_params, TINY, sampler=SamplerConfig(steps=4, cfg_interval=(2.0, 3.0)), **kw)
+    unguided = sample_cfm(
+        tiny_params, TINY, sampler=SamplerConfig(steps=4, cfg_strength=0.0), **kw)
+    np.testing.assert_allclose(np.asarray(none), np.asarray(unguided), atol=1e-6)
+
+    mid = sample_cfm(
+        tiny_params, TINY, sampler=SamplerConfig(steps=4, cfg_interval=(0.2, 0.8)), **kw)
+    assert bool(jnp.isfinite(mid).all())
+    assert float(jnp.abs(mid - base).max()) > 0
+    assert float(jnp.abs(mid - none).max()) > 0
