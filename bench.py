@@ -43,9 +43,19 @@ def main():
     voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
 
     quant = "int8" if os.environ.get("BENCH_QUANT") == "1" else "none"
+    iv = os.environ.get("BENCH_CFG_INTERVAL")  # "lo,hi" guidance interval
+    if iv:
+        from f5tts_tpu.sampling.euler import SamplerConfig
+
+        lo, hi = (float(v) for v in iv.split(","))
+        sampler = SamplerConfig(steps=nfe, cfg_interval=(lo, hi))
+    else:
+        from f5tts_tpu.sampling.euler import SamplerConfig
+
+        sampler = SamplerConfig(steps=nfe)
     cfg = EngineConfig(
         duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
-        compute_dtype="bfloat16", quantization=quant,
+        compute_dtype="bfloat16", quantization=quant, sampler=sampler,
     )
     engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, cfg)
 

@@ -224,11 +224,19 @@ def sample_cfm(
     if velocity_plain is None:
         y_final, _ = lax.scan(make_step(velocity), y0, (t_grid[:-1], t_grid[1:]))
     else:
-        # partition the (static) knot sequence into contiguous runs of
-        # guided / unguided steps and scan each run with the matching body
+        # partition the knot sequence into contiguous runs of guided /
+        # unguided steps and scan each run with the matching body. The knots
+        # are a pure function of static config, but under jit every jnp op is
+        # staged (omnistaging) — recompute them host-side in numpy to decide
+        # the partition.
         import numpy as np
 
-        t_np = np.asarray(jax.device_get(t_grid), np.float64)
+        if sampler.time_grid is not None:
+            t_np = np.asarray(sampler.time_grid, np.float64)
+        else:
+            t_np = np.linspace(0.0, 1.0, sampler.steps + 1)
+            if sampler.sway_sampling_coef is not None:
+                t_np = t_np + sampler.sway_sampling_coef * (np.cos(np.pi / 2 * t_np) - 1 + t_np)
         lo, hi = sampler.cfg_interval
         flags = [bool(lo <= t0 < hi) for t0 in t_np[:-1]]
         y_final = y0

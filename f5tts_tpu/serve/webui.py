@@ -15,11 +15,13 @@ PAGE = """<!doctype html>
 <body>
 <h2>f5tts-tpu — Indic TTS</h2>
 <div class="row"><textarea id="text" placeholder="Type text to speak...">Hello! This speech was synthesized on a TPU.</textarea></div>
+<div class="row" id="styles" style="color:#666">multi-style: </div>
 <div class="row">
  voice <select id="voice"></select>
  steps <input id="nfe" type="number" value="32" min="1" max="128" style="width:4.5rem">
  cfg <input id="cfg" type="number" value="2.0" step="0.5" style="width:4.5rem">
  speed <input id="speed" type="number" value="1.0" step="0.1" style="width:4.5rem">
+ seed <input id="seed" type="number" placeholder="rand" style="width:5rem">
 </div>
 <div class="row"><button id="go">Synthesize</button><span id="status"></span></div>
 <div class="row"><audio id="player" controls style="width:100%"></audio></div>
@@ -61,7 +63,22 @@ async function loadVoices() {
   try {
     const h = await (await fetch('/v1/voices')).json();
     const sel = document.getElementById('voice');
-    for (const v of h.voices) { const o = document.createElement('option'); o.value = v; o.textContent = v; sel.appendChild(o); }
+    const styles = document.getElementById('styles');
+    for (const v of h.voices) {
+      const o = document.createElement('option'); o.value = v; o.textContent = v; sel.appendChild(o);
+      // multi-style segmented generation (the Gradio app's multi-style tab,
+      // infer_gradio.py:317-499): a {Voice} tag in the text switches the
+      // reference voice for everything after it
+      const b = document.createElement('button'); b.textContent = '{' + v + '}';
+      b.title = 'insert style tag: text after this tag is spoken by ' + v;
+      b.onclick = () => {
+        const t = document.getElementById('text');
+        const at = t.selectionStart ?? t.value.length;
+        t.value = t.value.slice(0, at) + '{' + v + '} ' + t.value.slice(at);
+        t.focus();
+      };
+      styles.appendChild(b);
+    }
   } catch (e) {}
 }
 document.getElementById('go').onclick = async () => {
@@ -74,6 +91,8 @@ document.getElementById('go').onclick = async () => {
     cfg_strength: parseFloat(document.getElementById('cfg').value),
     speed: parseFloat(document.getElementById('speed').value),
   };
+  const seed = document.getElementById('seed').value;
+  if (seed !== '') body.seed = parseInt(seed);
   const t0 = performance.now();
   const r = await fetch('/v1/audio/speech', {method:'POST', headers:{'content-type':'application/json'}, body: JSON.stringify(body)});
   if (!r.ok) { status.textContent = 'error: ' + (await r.text()); return; }
