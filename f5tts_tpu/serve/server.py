@@ -529,6 +529,60 @@ def build_app(settings: Settings) -> web.Application:
         service.unload()
         return web.json_response({"status": "models unloaded"})
 
+    def _last_model_path() -> str:
+        import os
+
+        return os.path.join(os.path.expanduser("~"), ".cache", "f5tts_tpu", "last_model.json")
+
+    async def get_model(request: web.Request) -> web.Response:
+        """Current + last-used checkpoint paths (the Gradio app's custom-ckpt
+        picker remembers the last choice, ``infer_gradio.py:751-819``)."""
+        import os
+
+        last = {}
+        try:
+            with open(_last_model_path(), encoding="utf-8") as f:
+                last = json.load(f)
+        except (OSError, ValueError):
+            pass
+        s = service.settings
+        return web.json_response({
+            "loaded": service.loaded, "demo_tiny": s.demo_tiny,
+            "tts_ckpt": s.tts_ckpt, "tts_vocab": s.tts_vocab,
+            "vocoder_ckpt": s.vocoder_ckpt, "last_used": last,
+        })
+
+    async def load_model(request: web.Request) -> web.Response:
+        """Hot-swap the served checkpoint: POST {tts_ckpt, tts_vocab,
+        vocoder_ckpt} — validates paths, reloads the engine, remembers the
+        choice for next time."""
+        import os
+
+        check_auth(request)
+        body = await request.json()
+        paths = {k: body.get(k, "") for k in ("tts_ckpt", "tts_vocab", "vocoder_ckpt")}
+        missing = [k for k, v in paths.items() if not v or not os.path.exists(v)]
+        if missing:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": f"missing or nonexistent paths: {missing}"}))
+        service.unload()
+        s = service.settings
+        s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt = (
+            paths["tts_ckpt"], paths["tts_vocab"], paths["vocoder_ckpt"])
+        s.demo_tiny = False
+        try:
+            await asyncio.get_running_loop().run_in_executor(None, service.load)
+        except Exception as e:  # bad checkpoint: report, stay unloaded
+            log.exception("checkpoint load failed")
+            raise web.HTTPBadRequest(text=json.dumps({"error": f"load failed: {e}"}))
+        try:
+            os.makedirs(os.path.dirname(_last_model_path()), exist_ok=True)
+            with open(_last_model_path(), "w", encoding="utf-8") as f:
+                json.dump(paths, f)
+        except OSError:
+            pass
+        return web.json_response({"status": "model loaded", **paths})
+
     app = web.Application(middlewares=[cors_middleware, timing_middleware], client_max_size=64 * 1024 * 1024)
     app.router.add_post("/v1/audio/speech", speech)
     app.router.add_post("/v1/transcribe/", transcribe)
@@ -541,6 +595,8 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_get("/", index)
     app.router.add_post("/v1/load_all_models", load_all)
     app.router.add_post("/v1/unload_all_models", unload_all)
+    app.router.add_get("/v1/model", get_model)
+    app.router.add_post("/v1/load_model", load_model)
     app.router.add_get("/app", webapp)
     app.router.add_get("/v1/voices", voices)
     app.router.add_post("/v1/indic_chat", indic_chat)

@@ -34,6 +34,38 @@ reference Gradio app's voice-chat tab (`infer_gradio.py:534-739`) as a browser f
  <span id="vstatus"></span>
 </div>
 <div class="row"><audio id="vplayer" controls style="width:100%"></audio></div>
+<hr>
+<h3>Custom checkpoint</h3>
+<p style="color:#666">Hot-swap the served model (the Gradio app's custom-ckpt picker,
+`infer_gradio.py:751-819`); the last-used paths are remembered server-side.</p>
+<div class="row"><input id="ckpt" placeholder="DiT checkpoint (.pt/.safetensors)" style="width:100%"></div>
+<div class="row"><input id="vocab" placeholder="vocab.txt" style="width:49%">
+ <input id="vocoder" placeholder="vocos checkpoint" style="width:49%"></div>
+<div class="row"><button id="loadmodel">Load model</button><span id="mstatus"></span></div>
+<script>
+async function loadModelInfo() {
+  try {
+    const m = await (await fetch('/v1/model')).json();
+    const last = m.last_used || {};
+    document.getElementById('ckpt').value = m.tts_ckpt || last.tts_ckpt || '';
+    document.getElementById('vocab').value = m.tts_vocab || last.tts_vocab || '';
+    document.getElementById('vocoder').value = m.vocoder_ckpt || last.vocoder_ckpt || '';
+    if (m.demo_tiny) document.getElementById('mstatus').textContent = 'serving: demo-tiny';
+  } catch (e) {}
+}
+document.getElementById('loadmodel').onclick = async () => {
+  const st = document.getElementById('mstatus');
+  st.textContent = 'loading (first compile can take minutes)...';
+  const body = {
+    tts_ckpt: document.getElementById('ckpt').value,
+    tts_vocab: document.getElementById('vocab').value,
+    vocoder_ckpt: document.getElementById('vocoder').value,
+  };
+  const r = await fetch('/v1/load_model', {method:'POST', headers:{'content-type':'application/json'}, body: JSON.stringify(body)});
+  st.textContent = r.ok ? 'loaded' : 'error: ' + (await r.text());
+};
+loadModelInfo();
+</script>
 <script>
 let mediaRec = null, chunks = [];
 document.getElementById('rec').onclick = async () => {

@@ -267,3 +267,24 @@ def test_cfg_interval(tiny_params):
     assert bool(jnp.isfinite(mid).all())
     assert float(jnp.abs(mid - base).max()) > 0
     assert float(jnp.abs(mid - none).max()) > 0
+
+
+def test_cfg_interval_under_jit(tiny_params):
+    """Regression: the knot partition must not device_get a traced grid
+    (omnistaging stages every jnp op inside jit, even on static inputs)."""
+    tiny_params, _ = tiny_params
+    rng = np.random.default_rng(17)
+    cond = jnp.asarray(rng.standard_normal((1, 40, TINY.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 20, (1, 12)), jnp.int32)
+    sampler = SamplerConfig(steps=4, cfg_interval=(0.0, 0.5))
+
+    @jax.jit
+    def f(cond, text, seeds):
+        return sample_cfm(tiny_params, TINY, cond=cond, cond_lens=jnp.asarray([12]),
+                          text=text, duration=jnp.asarray([40]), sampler=sampler, seeds=seeds)
+
+    jitted = f(cond, text, jnp.asarray([3]))
+    eager = sample_cfm(tiny_params, TINY, cond=cond, cond_lens=jnp.asarray([12]),
+                       text=text, duration=jnp.asarray([40]), sampler=sampler,
+                       seeds=jnp.asarray([3]))
+    np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-5)

@@ -193,3 +193,24 @@ def test_visual_query_gated(client):
     resp, _ = _req(client, "POST", "/v1/document_query_batch",
                    data={"file": io.BytesIO(png.getvalue()), "query": "q"})
     assert resp.status == 501
+
+
+def test_model_info_and_ckpt_picker_validation(client):
+    """Custom-ckpt picker routes: GET /v1/model reports state; POST
+    /v1/load_model rejects nonexistent paths without unloading state loss."""
+    resp, body = _req(client, "GET", "/v1/model")
+    assert resp.status == 200
+    info = json.loads(body)
+    assert info["demo_tiny"] is True and "last_used" in info
+
+    resp, body = _req(client, "POST", "/v1/load_model",
+                      json={"tts_ckpt": "/nonexistent/model.pt",
+                            "tts_vocab": "/nonexistent/vocab.txt",
+                            "vocoder_ckpt": "/nonexistent/vocos.bin"})
+    assert resp.status == 400
+    assert "nonexistent" in json.loads(body)["error"]
+
+    # the served demo model still answers after the rejected swap
+    resp, body = _req(client, "POST", "/v1/audio/speech",
+                      json={"text": "still alive.", "nfe_step": 2})
+    assert resp.status == 200 and body[:4] == b"RIFF"
