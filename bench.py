@@ -43,16 +43,12 @@ def main():
     voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
 
     quant = "int8" if os.environ.get("BENCH_QUANT") == "1" else "none"
+    from f5tts_tpu.sampling.euler import SamplerConfig
+
     iv = os.environ.get("BENCH_CFG_INTERVAL")  # "lo,hi" guidance interval
-    if iv:
-        from f5tts_tpu.sampling.euler import SamplerConfig
-
-        lo, hi = (float(v) for v in iv.split(","))
-        sampler = SamplerConfig(steps=nfe, cfg_interval=(lo, hi))
-    else:
-        from f5tts_tpu.sampling.euler import SamplerConfig
-
-        sampler = SamplerConfig(steps=nfe)
+    interval = tuple(float(v) for v in iv.split(",")) if iv else (0.0, 1.0)
+    cache = int(os.environ.get("BENCH_CFG_CACHE", 1))  # null-branch refresh period
+    sampler = SamplerConfig(steps=nfe, cfg_interval=interval, cfg_cache_period=cache)
     cfg = EngineConfig(
         duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
         compute_dtype="bfloat16", quantization=quant, sampler=sampler,

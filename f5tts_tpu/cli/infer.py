@@ -33,6 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sway", type=float, default=-1.0)
     p.add_argument("--time-grid", default="", help="comma list of ODE time knots 0..1 (pruned-step schedules, overrides --nfe/--sway)")
     p.add_argument("--cfg-interval", default="", help="lo,hi guidance interval: CFG only on steps with t in [lo,hi) — one forward instead of two elsewhere (arXiv:2404.07724)")
+    p.add_argument("--cfg-cache", type=int, default=1, help="guidance caching period k: refresh the null branch every k-th step, reuse in between (guidance stays on every step); 1 = off")
     p.add_argument("--speed", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--fix-duration", type=float, default=None, help="total duration seconds")
@@ -127,6 +128,7 @@ def build_engine(args):
             steps=args.nfe, cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway,
             time_grid=tuple(float(v) for v in args.time_grid.split(",")) if args.time_grid else None,
             cfg_interval=tuple(float(v) for v in args.cfg_interval.split(",")) if args.cfg_interval else (0.0, 1.0),
+            cfg_cache_period=args.cfg_cache,
         ),
         compute_dtype=args.dtype,
         cross_fade_duration=args.cross_fade,

@@ -190,6 +190,7 @@ class TTSEngine:
             # (per-request nfe_step overrides fall back to the sway grid)
             time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
             cfg_interval=self.cfg.sampler.cfg_interval,
+            cfg_cache_period=self.cfg.sampler.cfg_cache_period,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
@@ -221,6 +222,7 @@ class TTSEngine:
             method=self.cfg.sampler.method,
             time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
             cfg_interval=self.cfg.sampler.cfg_interval,
+            cfg_cache_period=self.cfg.sampler.cfg_cache_period,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, seeds):

@@ -48,6 +48,12 @@ class SamplerConfig:
     # (the reference's behavior, ``cfm.py:167-176``). Training-free compute
     # saving: each skipped step costs one DiT forward instead of two.
     cfg_interval: tuple[float, float] = (0.0, 1.0)
+    # Guidance caching (DiTReducio/FasterCache family, arXiv:2509.09748):
+    # recompute the null branch only every k-th step and reuse the cached
+    # null velocity in between — guidance stays active on EVERY step (unlike
+    # cfg_interval), but null forwards drop to ceil(steps/k). 1 = off.
+    # Euler only; mutually exclusive with cfg_interval.
+    cfg_cache_period: int = 1
 
 
 def sway_time_grid(steps: int, coef: float | None, t_start: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
@@ -125,6 +131,8 @@ def sample_cfm(
     f = jnp.zeros((b,), dtype=bool)
 
     velocity_plain = None
+    velocity_pair = None
+    cond_forward = None
     if use_cfg:
         # one fused forward of batch 2b: [cond branch; null branch]
         text2 = jnp.concatenate([text, text], axis=0)
@@ -134,7 +142,7 @@ def sample_cfm(
         mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
         drop_audio2 = jnp.concatenate([f, ~f], axis=0)
 
-        def velocity(t_scalar, x):
+        def velocity_pair(t_scalar, x):
             x2 = jnp.concatenate([x, x], axis=0)
             out = forward_fn(
                 params,
@@ -149,16 +157,19 @@ def sample_cfm(
                 text_emb=text_emb2,
                 compute_dtype=compute_dtype,
             )
-            pred, null_pred = out[:b], out[b:]
+            return out[:b], out[b:]
+
+        def velocity(t_scalar, x):
+            pred, null_pred = velocity_pair(t_scalar, x)
             return pred + (pred - null_pred) * sampler.cfg_strength
 
         lo, hi = sampler.cfg_interval
-        if (lo, hi) != (0.0, 1.0):
-            # plain cond-branch forward for steps outside the guidance
-            # interval; reuses the cond half of the fused text embedding
+        if (lo, hi) != (0.0, 1.0) or sampler.cfg_cache_period > 1:
+            # plain cond-branch forward (steps outside the guidance interval /
+            # cached-null steps); reuses the cond half of the fused embedding
             text_emb1 = jax.tree.map(lambda e: e[:b] if hasattr(e, "shape") else e, text_emb2)
 
-            def velocity_plain(t_scalar, x):
+            def cond_forward(t_scalar, x):
                 return forward_fn(
                     params,
                     model_cfg,
@@ -172,6 +183,9 @@ def sample_cfm(
                     text_emb=text_emb1,
                     compute_dtype=compute_dtype,
                 )
+
+            if (lo, hi) != (0.0, 1.0):
+                velocity_plain = cond_forward
 
     else:
         text_emb = embed_fn(params, model_cfg, text, n, f)
@@ -198,6 +212,41 @@ def sample_cfm(
         t_grid = jnp.asarray(tg, dtype=compute_dtype)
     else:
         t_grid = sway_time_grid(sampler.steps, sampler.sway_sampling_coef, dtype=compute_dtype)
+
+    if use_cfg and sampler.cfg_cache_period > 1:
+        # guidance caching: one fused 2b forward refreshes the null velocity
+        # every k-th step; the k-1 steps in between run the b-row cond branch
+        # and combine with the cached null. Guidance is applied on every step.
+        if sampler.method != "euler":
+            raise ValueError("cfg_cache_period requires method='euler'")
+        if sampler.cfg_interval != (0.0, 1.0):
+            raise ValueError("cfg_cache_period and cfg_interval are mutually exclusive")
+        k = int(sampler.cfg_cache_period)
+        nsteps = int(t_grid.shape[0]) - 1
+        ngroups = nsteps // k
+        s = sampler.cfg_strength
+
+        y = y0
+        if ngroups:
+            knots = t_grid[: ngroups * k + 1]
+            t0s = knots[:-1].reshape(ngroups, k)
+            t1s = knots[1:].reshape(ngroups, k)
+
+            def group(y, ts):
+                t0v, t1v = ts
+                pred, null = velocity_pair(t0v[0], y)
+                y = y + (t1v[0] - t0v[0]) * (pred + (pred - null) * s)
+                for j in range(1, k):
+                    pj = cond_forward(t0v[j], y)
+                    y = y + (t1v[j] - t0v[j]) * (pj + (pj - null) * s)
+                return y, None
+
+            y, _ = lax.scan(group, y, (t0s, t1s))
+        # remainder steps (< k of them): full guided pairs
+        for j in range(ngroups * k, nsteps):
+            pred, null = velocity_pair(t_grid[j], y)
+            y = y + (t_grid[j + 1] - t_grid[j]) * (pred + (pred - null) * s)
+        return jnp.where(cond_mask[..., None], cond, y)
 
     def make_step(vel):
         if sampler.method == "euler":

@@ -288,3 +288,37 @@ def test_cfg_interval_under_jit(tiny_params):
                        text=text, duration=jnp.asarray([40]), sampler=sampler,
                        seeds=jnp.asarray([3]))
     np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-5)
+
+
+def test_cfg_cache_period(tiny_params):
+    """Guidance caching: k=1 is the untouched default; k=2 runs (jitted),
+    differs from always-refreshed but stays close (the null velocity is
+    smooth); invalid combinations are rejected."""
+    tiny_params, _ = tiny_params
+    rng = np.random.default_rng(19)
+    cond = jnp.asarray(rng.standard_normal((2, 40, TINY.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 20, (2, 12)), jnp.int32)
+    kw = dict(cond=cond, cond_lens=jnp.asarray([12, 9]), text=text,
+              duration=jnp.asarray([40, 33]), seeds=jnp.asarray([3, 4]))
+
+    base = sample_cfm(tiny_params, TINY, sampler=SamplerConfig(steps=5), **kw)
+
+    @jax.jit
+    def f(cond, text, seeds):
+        return sample_cfm(tiny_params, TINY, cond=cond, cond_lens=jnp.asarray([12, 9]),
+                          text=text, duration=jnp.asarray([40, 33]),
+                          sampler=SamplerConfig(steps=5, cfg_cache_period=2), seeds=seeds)
+
+    cached = f(cond, text, jnp.asarray([3, 4]))  # 5 steps: 2 groups of 2 + 1 remainder
+    assert bool(jnp.isfinite(cached).all())
+    assert float(jnp.abs(cached - base).max()) > 0
+    # the approximation is close at tiny scale (smooth null field)
+    assert float(jnp.abs(cached - base).mean()) < 0.5 * float(jnp.abs(base).mean())
+
+    with pytest.raises(ValueError):
+        sample_cfm(tiny_params, TINY,
+                   sampler=SamplerConfig(steps=4, cfg_cache_period=2, method="midpoint"), **kw)
+    with pytest.raises(ValueError):
+        sample_cfm(tiny_params, TINY,
+                   sampler=SamplerConfig(steps=4, cfg_cache_period=2,
+                                         cfg_interval=(0.0, 0.5)), **kw)
