@@ -797,11 +797,16 @@ def convert_parler_decoder(
 
 
 def _conv_wn(sd, prefix):
-    """Conv weight, folding weight-norm parametrizations when present."""
+    """Conv weight, folding weight-norm parametrizations when present
+    (new-style ``parametrizations.weight.original{0,1}`` or the legacy
+    ``weight_g``/``weight_v`` pair descript-audio-codec checkpoints use)."""
     if f"{prefix}.weight" in sd:
         return _w(sd, f"{prefix}.weight"), _w(sd, f"{prefix}.bias")
-    g = _w(sd, f"{prefix}.parametrizations.weight.original0")
-    v = _w(sd, f"{prefix}.parametrizations.weight.original1")
+    if f"{prefix}.weight_g" in sd:
+        g, v = _w(sd, f"{prefix}.weight_g"), _w(sd, f"{prefix}.weight_v")
+    else:
+        g = _w(sd, f"{prefix}.parametrizations.weight.original0")
+        v = _w(sd, f"{prefix}.parametrizations.weight.original1")
     norm = np.sqrt(np.sum(v * v, axis=tuple(range(1, v.ndim)), keepdims=True))
     return g * v / np.maximum(norm, 1e-12), _w(sd, f"{prefix}.bias")
 
@@ -852,3 +857,46 @@ def convert_dac(sd: dict, cfg: DacConfig = DacConfig(), prefix: str = "") -> dic
         "conv2": conv(f"{d}.conv2"),
     }
     return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+
+def descript_dac_to_hf_keys(sd: dict, cfg: DacConfig = DacConfig(), prefix: str = "") -> dict:
+    """Rename descript-audio-codec state-dict keys (what real ParlerTTS
+    checkpoints embed under ``audio_encoder.model.``) to the transformers
+    DacModel layout ``convert_dac`` consumes.
+
+    descript's decoder is a positional ``nn.Sequential``:
+    ``decoder.model.0`` first conv; ``decoder.model.{1+i}`` DecoderBlock i
+    with ``block.0`` snake / ``block.1`` transposed conv / ``block.{2..4}``
+    ResidualUnits (inner ``block.{0..3}`` = snake, conv k7, snake, conv k1);
+    then final snake + conv. Quantizer names already match. Weight-norm
+    tensors (``weight_g``/``weight_v``) pass through for ``_conv_wn``."""
+    nb = len(cfg.rates)
+    ren: dict[str, str] = {}
+
+    def unit(src, dst):
+        for suf in ("weight", "bias", "weight_g", "weight_v", "alpha",
+                    "parametrizations.weight.original0",
+                    "parametrizations.weight.original1"):
+            ren[f"{src}.{suf}"] = f"{dst}.{suf}"
+
+    unit("decoder.model.0", "decoder.conv1")
+    for i in range(nb):
+        B, H = f"decoder.model.{1 + i}", f"decoder.block.{i}"
+        unit(f"{B}.block.0", f"{H}.snake1")
+        unit(f"{B}.block.1", f"{H}.conv_t1")
+        for j in range(3):
+            R, RH = f"{B}.block.{2 + j}", f"{H}.res_unit{j + 1}"
+            unit(f"{R}.block.0", f"{RH}.snake1")
+            unit(f"{R}.block.1", f"{RH}.conv1")
+            unit(f"{R}.block.2", f"{RH}.snake2")
+            unit(f"{R}.block.3", f"{RH}.conv2")
+    unit(f"decoder.model.{1 + nb}", "decoder.snake1")
+    unit(f"decoder.model.{2 + nb}", "decoder.conv2")
+
+    out = {}
+    for k, v in sd.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        out[ren.get(k, k)] = v
+    return out

@@ -312,3 +312,60 @@ def test_parler_loss_and_grads():
     assert float(jnp.abs(grads["lm_heads"]).sum()) > 0
     assert float(jnp.abs(grads["embed_tokens"]).sum()) > 0
     assert float(jnp.abs(grads["blocks"]["sa"]["q"]["w"]).sum()) > 0
+
+
+def test_dac_descript_layout_conversion():
+    """Real ParlerTTS checkpoints carry the DAC in descript's positional
+    Sequential layout with legacy weight_g/weight_v norm tensors; the key
+    translator + folding must land on the same decode as the HF layout."""
+    _seed()
+    model, cfg = _tiny_dac()
+    hf_sd = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    # build a descript-style dict by inverse-renaming + weight_g/v splitting
+    inv = {v: k for k, v in _descript_rename_table(cfg).items()}
+    desc_sd = {}
+    for k, v in hf_sd.items():
+        name = inv.get(k, k)
+        if name.endswith(".weight") and ("conv" in k or "snake" not in k) and v.ndim == 3:
+            w = v
+            g = np.sqrt((w * w).sum(axis=(1, 2), keepdims=True))
+            desc_sd[name[:-7] + ".weight_g"] = g
+            desc_sd[name[:-7] + ".weight_v"] = w  # ||v||*g/||v|| == w when g=||w||
+        else:
+            desc_sd[name] = v
+
+    renamed = P.descript_dac_to_hf_keys(
+        {f"audio_encoder.model.{k}": v for k, v in desc_sd.items()},
+        cfg, prefix="audio_encoder.model.")
+    params_a = P.convert_dac(renamed, cfg)
+    params_b = P.convert_dac(hf_sd, cfg)
+    codes = np.random.randint(0, cfg.codebook_size, (1, cfg.num_codebooks, 9))
+    a = np.asarray(P.dac_decode_codes(params_a, jnp.asarray(codes), cfg))
+    b = np.asarray(P.dac_decode_codes(params_b, jnp.asarray(codes), cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def _descript_rename_table(cfg):
+    """hf-key -> descript-key inverse of descript_dac_to_hf_keys' table."""
+    nb = len(cfg.rates)
+    ren = {}
+
+    def unit(src, dst):
+        for suf in ("weight", "bias", "alpha"):
+            ren[f"{src}.{suf}"] = f"{dst}.{suf}"
+
+    unit("decoder.model.0", "decoder.conv1")
+    for i in range(nb):
+        B, H = f"decoder.model.{1 + i}", f"decoder.block.{i}"
+        unit(f"{B}.block.0", f"{H}.snake1")
+        unit(f"{B}.block.1", f"{H}.conv_t1")
+        for j in range(3):
+            R, RH = f"{B}.block.{2 + j}", f"{H}.res_unit{j + 1}"
+            unit(f"{R}.block.0", f"{RH}.snake1")
+            unit(f"{R}.block.1", f"{RH}.conv1")
+            unit(f"{R}.block.2", f"{RH}.snake2")
+            unit(f"{R}.block.3", f"{RH}.conv2")
+    unit(f"decoder.model.{1 + nb}", "decoder.snake1")
+    unit(f"decoder.model.{2 + nb}", "decoder.conv2")
+    return ren
