@@ -201,10 +201,23 @@ class ParlerDecoderConfig:
     cross_dim: int = 1024
     prompt_vocab: int = 32128
     ln_eps: float = 1e-5
+    # grouped-query attention (parler-tts v1.1 configs expose
+    # num_key_value_heads / num_cross_attention_key_value_heads; llama-style
+    # repeat_kv). None = full MHA (MusicGen / v1 behavior, torch-goldened).
+    kv_heads: int | None = None
+    cross_kv_heads: int | None = None
 
     @property
     def head_dim(self) -> int:
         return self.hidden // self.heads
+
+    @property
+    def n_kv(self) -> int:
+        return self.kv_heads or self.heads
+
+    @property
+    def n_cross_kv(self) -> int:
+        return self.cross_kv_heads or self.heads
 
 
 def init_parler_decoder(key: jax.Array, cfg: ParlerDecoderConfig):
@@ -213,16 +226,24 @@ def init_parler_decoder(key: jax.Array, cfg: ParlerDecoderConfig):
     def ln():
         return {"w": jnp.ones((cfg.hidden,)), "b": jnp.zeros((cfg.hidden,))}
 
+    kv_w = cfg.n_kv * cfg.head_dim
+    ckv_w = cfg.n_cross_kv * cfg.head_dim
+
     def block(k):
         kk = jax.random.split(k, 10)
         return {
             "ln_sa": ln(),
-            "sa": {t: _nobias(kk[i], cfg.hidden, cfg.hidden) for i, t in enumerate(("q", "k", "v", "o"))},
+            "sa": {
+                "q": _nobias(kk[0], cfg.hidden, cfg.hidden),
+                "k": _nobias(kk[1], cfg.hidden, kv_w),
+                "v": _nobias(kk[2], cfg.hidden, kv_w),
+                "o": _nobias(kk[3], cfg.hidden, cfg.hidden),
+            },
             "ln_ca": ln(),
             "ca": {
                 "q": _nobias(kk[4], cfg.hidden, cfg.hidden),
-                "k": _nobias(kk[5], cfg.hidden, cfg.hidden),
-                "v": _nobias(kk[6], cfg.hidden, cfg.hidden),
+                "k": _nobias(kk[5], cfg.hidden, ckv_w),
+                "v": _nobias(kk[6], cfg.hidden, ckv_w),
                 "o": _nobias(kk[7], cfg.hidden, cfg.hidden),
             },
             "ln_ff": ln(),
@@ -257,14 +278,30 @@ def _split_heads(t, b, n, heads):
     return t.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
 
 
+def _kv_count(p, head_dim: int) -> int:
+    """KV head count inferred from the projection width (GQA-aware)."""
+    return p["k"]["w"].shape[1] // head_dim
+
+
+def _expand_kv(t, heads: int):
+    """(b, kvh, n, d) -> (b, heads, n, d) llama-style repeat_kv."""
+    kvh = t.shape[1]
+    if kvh == heads:
+        return t
+    return jnp.repeat(t, heads // kvh, axis=1)
+
+
 def _mha(p, x, kv, heads, bias=None):
-    """Generic MHA: q from x, k/v from kv, additive bias (b,1,nq,nk) or None."""
+    """Generic M(Q/G)A: q from x, k/v from kv (possibly fewer KV heads),
+    additive bias (b,1,nq,nk) or None."""
     b, nq, _ = x.shape
     nk = kv.shape[1]
-    scale = (x.shape[-1] // heads) ** -0.5
+    head_dim = x.shape[-1] // heads
+    scale = head_dim**-0.5
+    nkv = _kv_count(p, head_dim)
     q = _split_heads(m.linear(p["q"], x) * scale, b, nq, heads)
-    k = _split_heads(m.linear(p["k"], kv), b, nk, heads)
-    v = _split_heads(m.linear(p["v"], kv), b, nk, heads)
+    k = _expand_kv(_split_heads(m.linear(p["k"], kv), b, nk, nkv), heads)
+    v = _expand_kv(_split_heads(m.linear(p["v"], kv), b, nk, nkv), heads)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
         logits = logits + bias
@@ -386,8 +423,8 @@ def revert_delay_pattern(delayed: jnp.ndarray, frames: int) -> jnp.ndarray:
 
 def _init_cache(cfg: ParlerDecoderConfig, b: int, total: int, dtype):
     return {
-        "k": jnp.zeros((cfg.layers, b, cfg.heads, total, cfg.head_dim), dtype),
-        "v": jnp.zeros((cfg.layers, b, cfg.heads, total, cfg.head_dim), dtype),
+        "k": jnp.zeros((cfg.layers, b, cfg.n_kv, total, cfg.head_dim), dtype),
+        "v": jnp.zeros((cfg.layers, b, cfg.n_kv, total, cfg.head_dim), dtype),
     }
 
 
@@ -468,11 +505,14 @@ def parler_generate(
         xn = m.layer_norm(h, cfg.ln_eps, blk["ln_sa"]["w"], blk["ln_sa"]["b"])
         scale = cfg.head_dim**-0.5
         q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, n0, cfg.heads)
-        k = _split_heads(m.linear(blk["sa"]["k"], xn), b, n0, cfg.heads)
-        v = _split_heads(m.linear(blk["sa"]["v"], xn), b, n0, cfg.heads)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) + sa_bias0
+        k = _split_heads(m.linear(blk["sa"]["k"], xn), b, n0, cfg.n_kv)
+        v = _split_heads(m.linear(blk["sa"]["v"], xn), b, n0, cfg.n_kv)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, _expand_kv(k, cfg.heads),
+            preferred_element_type=jnp.float32) + sa_bias0
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, n0, -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, _expand_kv(v, cfg.heads))
+        o = o.transpose(0, 2, 1, 3).reshape(b, n0, -1)
         h = h + m.linear(blk["sa"]["o"], o)
         xn = m.layer_norm(h, cfg.ln_eps, blk["ln_ca"]["w"], blk["ln_ca"]["b"])
         h = h + _mha(blk["ca"], xn, enc_h, cfg.heads, ca_bias)
@@ -484,11 +524,12 @@ def parler_generate(
     cache["k"] = lax.dynamic_update_slice_in_dim(cache["k"], pk, 0, axis=3)
     cache["v"] = lax.dynamic_update_slice_in_dim(cache["v"], pv, 0, axis=3)
 
-    # cross-attn K/V are static per layer — precompute outside the scan
+    # cross-attn K/V are static per layer — precompute (expanded) outside the scan
     def ca_kv(blk):
         nk = enc_h.shape[1]
-        return (_split_heads(m.linear(blk["ca"]["k"], enc_h), b, nk, cfg.heads),
-                _split_heads(m.linear(blk["ca"]["v"], enc_h), b, nk, cfg.heads))
+        k = _split_heads(m.linear(blk["ca"]["k"], enc_h), b, nk, cfg.n_cross_kv)
+        v = _split_heads(m.linear(blk["ca"]["v"], enc_h), b, nk, cfg.n_cross_kv)
+        return _expand_kv(k, cfg.heads), _expand_kv(v, cfg.heads)
 
     ca_k, ca_v = jax.vmap(ca_kv)(params["blocks"])
 
@@ -507,15 +548,17 @@ def parler_generate(
             xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_sa"]["w"], blk["ln_sa"]["b"])
             scale = cfg.head_dim**-0.5
             q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, 1, cfg.heads)
-            k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.heads)
-            v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.heads)
+            k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.n_kv)
+            v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
             kc = lax.dynamic_update_slice_in_dim(kc, k_new, abs_pos, axis=2)
             vc = lax.dynamic_update_slice_in_dim(vc, v_new, abs_pos, axis=2)
-            lg = jnp.einsum("bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32)
+            lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(kc, cfg.heads),
+                            preferred_element_type=jnp.float32)
             allowed = (jnp.arange(total)[None, None, None, :] <= abs_pos) & key_valid[:, None, None, :]
             lg = jnp.where(allowed, lg, -1e9)
             pr = jax.nn.softmax(lg, axis=-1).astype(vc.dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", pr, vc).transpose(0, 2, 1, 3).reshape(b, 1, -1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", pr, _expand_kv(vc, cfg.heads))
+            o = o.transpose(0, 2, 1, 3).reshape(b, 1, -1)
             h_tok = h_tok + m.linear(blk["sa"]["o"], o)
             # cross-attention with precomputed K/V
             xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ca"]["w"], blk["ln_ca"]["b"])

@@ -119,6 +119,16 @@ class ModelService:
             engine_cfg = EngineConfig(compute_dtype=s.dtype)
             mel_cfg = engine_cfg.mel
 
+        if s.cfg_interval or s.cfg_cache > 1:
+            import dataclasses
+
+            sampler = dataclasses.replace(
+                engine_cfg.sampler,
+                cfg_interval=tuple(float(v) for v in s.cfg_interval.split(","))
+                if s.cfg_interval else (0.0, 1.0),
+                cfg_cache_period=s.cfg_cache,
+            )
+            engine_cfg = dataclasses.replace(engine_cfg, sampler=sampler)
         self.engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg)
         self.batcher = ContinuousBatcher(self.engine, s.max_batch, s.batch_wait_ms).start()
         self._load_voices()

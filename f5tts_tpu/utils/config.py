@@ -50,6 +50,10 @@ class Settings:
     # bucket (first co-arriving burst otherwise pays a cold compile)
     warmup_batches: str = "1"
     config_name: str = ""
+    # training-free sampler accelerations (BENCH.md measurements); empty/1 =
+    # the reference's exact always-guided behavior
+    cfg_interval: str = ""  # "lo,hi" guidance interval (arXiv:2404.07724)
+    cfg_cache: int = 1  # null-branch refresh period k (arXiv:2509.09748 family)
 
     def __post_init__(self):
         for name in ("speech_rate_limit", "chat_rate_limit"):

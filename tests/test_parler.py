@@ -369,3 +369,30 @@ def _descript_rename_table(cfg):
     unit(f"decoder.model.{1 + nb}", "decoder.snake1")
     unit(f"decoder.model.{2 + nb}", "decoder.conv2")
     return ren
+
+
+def test_parler_gqa_generate_consistent_with_forward():
+    """GQA variant (kv_heads < heads, parler-tts v1.1 configs): the KV-cache
+    decode must replay exactly through the teacher-forced forward."""
+    _seed()
+    cfg = P.ParlerDecoderConfig(vocab=40, codebooks=3, hidden=32, layers=2,
+                                heads=4, ffn=64, cross_dim=32, prompt_vocab=16,
+                                kv_heads=2, cross_kv_heads=1)
+    params = P.init_parler_decoder(jax.random.PRNGKey(5), cfg)
+    assert params["blocks"]["sa"]["k"]["w"].shape[-1] == 2 * cfg.head_dim
+    assert params["blocks"]["ca"]["k"]["w"].shape[-1] == 1 * cfg.head_dim
+    b, m_len, frames = 2, 6, 5
+    K, pad = cfg.codebooks, cfg.vocab
+    enc = jnp.asarray(np.random.randn(b, m_len, cfg.hidden).astype(np.float32))
+
+    codes, _ = P.parler_generate(params, cfg, enc, None, frames,
+                                 jax.random.PRNGKey(0), temperature=0.0, eos_token=-1)
+    codes = np.asarray(codes)
+    steps = frames + K - 1
+    delayed = P.build_delay_pattern(codes, pad, steps)
+    full = np.concatenate([np.full((b, K, 1), pad), delayed], axis=2)
+    logits = np.asarray(P.parler_decoder_forward(
+        params, cfg, jnp.asarray(full[..., :-1].astype(np.int32)), enc, None))
+    idx = np.arange(steps)[None, :] - np.arange(K)[:, None]
+    valid = np.broadcast_to(((idx >= 0) & (idx < frames))[None], (b, K, steps))
+    np.testing.assert_array_equal(logits.argmax(-1)[valid], full[..., 1:][valid])

@@ -214,3 +214,28 @@ def test_model_info_and_ckpt_picker_validation(client):
     resp, body = _req(client, "POST", "/v1/audio/speech",
                       json={"text": "still alive.", "nfe_step": 2})
     assert resp.status == 200 and body[:4] == b"RIFF"
+
+
+def test_server_sampler_acceleration_knobs():
+    """F5TPU_CFG_CACHE / F5TPU_CFG_INTERVAL settings reach the engine and the
+    speech route still produces audio."""
+    loop = asyncio.new_event_loop()
+    settings = Settings(demo_tiny=True, warmup=False, speech_rate_limit="100/minute",
+                        cfg_cache=2)
+    app = build_app(settings)
+    server = TestServer(app, loop=loop)
+    c = TestClient(server, loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        resp = loop.run_until_complete(c.request(
+            "POST", "/v1/audio/speech", json={"text": "cached guidance.", "nfe_step": 4}))
+        body = loop.run_until_complete(resp.read())
+        assert resp.status == 200 and body[:4] == b"RIFF"
+        svc = app["service"] if "service" in app else None
+        # the knob must be live on the engine config
+        eng = svc.engine if svc else None
+        if eng is not None:
+            assert eng.cfg.sampler.cfg_cache_period == 2
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
