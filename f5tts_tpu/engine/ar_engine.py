@@ -113,14 +113,21 @@ class ParlerTTSEngine:
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self._cache: dict = {}
 
-    def _pad_ids(self, ids_list, pad_to):
+    def _pad_ids(self, ids_list, pad_to, side: str = "right"):
+        """Prompts pad LEFT (official ParlerTTS batched inference: every
+        prompt abuts the decoder start so sinusoidal position indices match
+        the trained layout); descriptions pad right (standard T5 encoder)."""
         b = len(ids_list)
         out = np.zeros((b, pad_to), np.int32)
         mask = np.zeros((b, pad_to), bool)
         for i, ids in enumerate(ids_list):
             ids = np.asarray(ids, np.int32)[:pad_to]
-            out[i, : len(ids)] = ids
-            mask[i, : len(ids)] = True
+            if side == "left":
+                out[i, pad_to - len(ids):] = ids
+                mask[i, pad_to - len(ids):] = True
+            else:
+                out[i, : len(ids)] = ids
+                mask[i, : len(ids)] = True
         return out, mask
 
     def _compiled(self, batch: int, frames: int):
@@ -154,7 +161,7 @@ class ParlerTTSEngine:
             prompts = [self.encode_fn(p) for p in prompts]
         frames = self.cfg.max_frames if frames is None else frames
         desc, desc_mask = self._pad_ids(descriptions, self.cfg.desc_pad)
-        prompt, prompt_mask = self._pad_ids(prompts, self.cfg.prompt_pad)
+        prompt, prompt_mask = self._pad_ids(prompts, self.cfg.prompt_pad, side="left")
         fn = self._compiled(len(descriptions), frames)
         _, lengths, wave = fn(self.t5_params, self.dec_params, self.dac_params,
                               jnp.asarray(desc), jnp.asarray(desc_mask),

@@ -396,3 +396,37 @@ def test_parler_gqa_generate_consistent_with_forward():
     idx = np.arange(steps)[None, :] - np.arange(K)[:, None]
     valid = np.broadcast_to(((idx >= 0) & (idx < frames))[None], (b, K, steps))
     np.testing.assert_array_equal(logits.argmax(-1)[valid], full[..., 1:][valid])
+
+
+def test_parler_prompt_left_pad_row_isolation():
+    """Left-padded prompts (the official batched-inference convention): a
+    row's greedy generation must not depend on its batch neighbors."""
+    _seed()
+    _, cfg = _tiny_musicgen()
+    params = P.init_parler_decoder(jax.random.PRNGKey(7), cfg)
+    m_len, frames, p = 4, 4, 6
+    enc_row = np.random.randn(1, m_len, cfg.hidden).astype(np.float32)
+    enc = jnp.asarray(np.concatenate([enc_row, enc_row * 0.5], axis=0))
+
+    def left(ids):
+        out = np.zeros(p, np.int32)
+        msk = np.zeros(p, bool)
+        out[p - len(ids):] = ids
+        msk[p - len(ids):] = True
+        return out, msk
+
+    short, short_m = left([3, 1, 4])
+    long_, long_m = left([2, 7, 1, 8, 2])
+    prompts = jnp.asarray(np.stack([short, long_]))
+    masks = jnp.asarray(np.stack([short_m, long_m]))
+    codes_a, _ = P.parler_generate(params, cfg, enc, None, frames, jax.random.PRNGKey(0),
+                                   prompt_ids=prompts, prompt_mask=masks,
+                                   temperature=0.0, eos_token=-1)
+
+    prompts_b = jnp.asarray(np.stack([short, short]))
+    masks_b = jnp.asarray(np.stack([short_m, short_m]))
+    enc_b = jnp.asarray(np.concatenate([enc_row, enc_row], axis=0))
+    codes_b, _ = P.parler_generate(params, cfg, enc_b, None, frames, jax.random.PRNGKey(0),
+                                   prompt_ids=prompts_b, prompt_mask=masks_b,
+                                   temperature=0.0, eos_token=-1)
+    np.testing.assert_array_equal(np.asarray(codes_a)[0], np.asarray(codes_b)[0])
