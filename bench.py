@@ -43,10 +43,10 @@ def main():
     voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
 
     quant = "int8" if os.environ.get("BENCH_QUANT") == "1" else "none"
-    from f5tts_tpu.sampling.euler import SamplerConfig
+    from f5tts_tpu.sampling.euler import SamplerConfig, parse_cfg_interval
 
     iv = os.environ.get("BENCH_CFG_INTERVAL")  # "lo,hi" guidance interval
-    interval = tuple(float(v) for v in iv.split(",")) if iv else (0.0, 1.0)
+    interval = parse_cfg_interval(iv) if iv else (0.0, 1.0)
     cache = int(os.environ.get("BENCH_CFG_CACHE", 1))  # null-branch refresh period
     sampler = SamplerConfig(steps=nfe, cfg_interval=interval, cfg_cache_period=cache)
     cfg = EngineConfig(

@@ -83,6 +83,7 @@ def build_engine(args):
     from f5tts_tpu.models.vocos import VocosConfig, init_vocos
     from f5tts_tpu.ops.mel import MelConfig
     from f5tts_tpu.sampling.euler import SamplerConfig
+    from f5tts_tpu.sampling.euler import parse_cfg_interval as _parse_cfg_interval
     from f5tts_tpu.text.tokenizer import Tokenizer
 
     engine_fns = {}
@@ -127,7 +128,7 @@ def build_engine(args):
         sampler=SamplerConfig(
             steps=args.nfe, cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway,
             time_grid=tuple(float(v) for v in args.time_grid.split(",")) if args.time_grid else None,
-            cfg_interval=tuple(float(v) for v in args.cfg_interval.split(",")) if args.cfg_interval else (0.0, 1.0),
+            cfg_interval=_parse_cfg_interval(args.cfg_interval) if args.cfg_interval else (0.0, 1.0),
             cfg_cache_period=args.cfg_cache,
         ),
         compute_dtype=args.dtype,

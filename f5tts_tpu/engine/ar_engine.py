@@ -143,7 +143,8 @@ class ParlerTTSEngine:
                 dec_p, self.dec_cfg, enc, desc_mask, frames, rng,
                 prompt_ids=prompt, prompt_mask=prompt_mask,
                 eos_token=cfg.eos_token, temperature=cfg.temperature,
-                top_k=cfg.top_k, compute_dtype=self.compute_dtype)
+                top_k=cfg.top_k, max_code=self.dac_cfg.codebook_size,
+                compute_dtype=self.compute_dtype)
             wave = P.dac_decode_codes(dac_p, codes, self.dac_cfg,
                                       compute_dtype=self.compute_dtype)
             return codes, lengths, wave
@@ -156,6 +157,10 @@ class ParlerTTSEngine:
         """descriptions/prompts: lists of token-id sequences (or raw strings
         when ``encode_fn`` is set). Returns float32 waves at the DAC rate,
         trimmed to each row's predicted length."""
+        if len(descriptions) != len(prompts):
+            raise ValueError(
+                f"descriptions ({len(descriptions)}) and prompts ({len(prompts)}) "
+                "must pair up row-for-row")
         if self.encode_fn is not None:
             descriptions = [self.encode_fn(d) for d in descriptions]
             prompts = [self.encode_fn(p) for p in prompts]

@@ -455,13 +455,17 @@ def parler_generate(
     eos_token: int = 1024,
     temperature: float = 1.0,
     top_k: int = 0,
+    max_code: int | None = None,  # codec codebook size; sampled specials >= it are zeroed
     compute_dtype=jnp.float32,
 ):
     """Delay-pattern AR generation with a static KV cache.
 
     Returns ``(codes (b, K, frames) int32, lengths (b,) int32)`` — codes are
     de-delayed; rows that emitted EOS in codebook 0 are padded with 0 past
-    their length (DAC-safe) and report the shorter length.
+    their length and report the shorter length. ``max_code`` guards the codec:
+    the decoder vocab (e.g. 1088) exceeds the DAC codebook (1024), and EOS is
+    only intercepted on codebook 0 — stray specials sampled in codebooks 1+
+    must not flow into the codec gather (JAX clamps silently).
     """
     bos = cfg.vocab if bos_token is None else bos_token
     pad = bos if pad_token is None else pad_token
@@ -611,7 +615,8 @@ def parler_generate(
     lengths = eos_frame
     frame_pos = jnp.arange(frames)[None, None, :]
     codes = jnp.where(frame_pos < lengths[:, None, None], codes, 0)
-    codes = jnp.clip(codes, 0, cfg.vocab - 1)
+    hi = cfg.vocab if max_code is None else max_code
+    codes = jnp.where((codes >= 0) & (codes < hi), codes, 0)
     return codes, lengths
 
 

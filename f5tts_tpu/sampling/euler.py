@@ -55,6 +55,26 @@ class SamplerConfig:
     # Euler only; mutually exclusive with cfg_interval.
     cfg_cache_period: int = 1
 
+    def __post_init__(self):
+        # fail at config construction, not at first-request trace time
+        if len(tuple(self.cfg_interval)) != 2:
+            raise ValueError(f"cfg_interval must be (lo, hi), got {self.cfg_interval!r}")
+        if self.cfg_cache_period < 1:
+            raise ValueError("cfg_cache_period must be >= 1")
+        if self.cfg_cache_period > 1:
+            if self.method != "euler":
+                raise ValueError("cfg_cache_period requires method='euler'")
+            if tuple(self.cfg_interval) != (0.0, 1.0):
+                raise ValueError("cfg_cache_period and cfg_interval are mutually exclusive")
+
+
+def parse_cfg_interval(s: str) -> tuple[float, float]:
+    """'lo,hi' -> (lo, hi) with a clear error (shared by CLI/bench/server)."""
+    parts = [float(v) for v in s.split(",") if v.strip() != ""]
+    if len(parts) != 2:
+        raise ValueError(f"guidance interval must be 'lo,hi', got {s!r}")
+    return (parts[0], parts[1])
+
 
 def sway_time_grid(steps: int, coef: float | None, t_start: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
     t = jnp.linspace(t_start, 1.0, steps + 1, dtype=dtype)

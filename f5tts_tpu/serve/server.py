@@ -122,10 +122,11 @@ class ModelService:
         if s.cfg_interval or s.cfg_cache > 1:
             import dataclasses
 
+            from f5tts_tpu.sampling.euler import parse_cfg_interval
+
             sampler = dataclasses.replace(
                 engine_cfg.sampler,
-                cfg_interval=tuple(float(v) for v in s.cfg_interval.split(","))
-                if s.cfg_interval else (0.0, 1.0),
+                cfg_interval=parse_cfg_interval(s.cfg_interval) if s.cfg_interval else (0.0, 1.0),
                 cfg_cache_period=s.cfg_cache,
             )
             engine_cfg = dataclasses.replace(engine_cfg, sampler=sampler)
@@ -529,14 +530,21 @@ def build_app(settings: Settings) -> web.Application:
             return web.json_response({"answers": answers})
         return web.json_response({"answer": answers[0]})
 
+    # one lock for every model-lifecycle mutation: overlapping load/unload
+    # calls would otherwise race loaded-state checks and orphan a running
+    # ContinuousBatcher thread
+    model_lock = asyncio.Lock()
+
     async def load_all(request: web.Request) -> web.Response:
         check_auth(request)
-        await asyncio.get_running_loop().run_in_executor(None, service.load)
+        async with model_lock:
+            await asyncio.get_running_loop().run_in_executor(None, service.load)
         return web.json_response({"status": "models loaded"})
 
     async def unload_all(request: web.Request) -> web.Response:
         check_auth(request)
-        service.unload()
+        async with model_lock:
+            service.unload()
         return web.json_response({"status": "models unloaded"})
 
     def _last_model_path() -> str:
@@ -546,8 +554,11 @@ def build_app(settings: Settings) -> web.Application:
 
     async def get_model(request: web.Request) -> web.Response:
         """Current + last-used checkpoint paths (the Gradio app's custom-ckpt
-        picker remembers the last choice, ``infer_gradio.py:751-819``)."""
+        picker remembers the last choice, ``infer_gradio.py:751-819``).
+        Auth-gated: the response discloses server filesystem paths."""
         import os
+
+        check_auth(request)
 
         last = {}
         try:
@@ -575,16 +586,27 @@ def build_app(settings: Settings) -> web.Application:
         if missing:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": f"missing or nonexistent paths: {missing}"}))
-        service.unload()
         s = service.settings
-        s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt = (
-            paths["tts_ckpt"], paths["tts_vocab"], paths["vocoder_ckpt"])
-        s.demo_tiny = False
-        try:
-            await asyncio.get_running_loop().run_in_executor(None, service.load)
-        except Exception as e:  # bad checkpoint: report, stay unloaded
-            log.exception("checkpoint load failed")
-            raise web.HTTPBadRequest(text=json.dumps({"error": f"load failed: {e}"}))
+        prev = (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny)
+        loop = asyncio.get_running_loop()
+        async with model_lock:
+            service.unload()
+            s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt = (
+                paths["tts_ckpt"], paths["tts_vocab"], paths["vocoder_ckpt"])
+            s.demo_tiny = False
+            try:
+                await loop.run_in_executor(None, service.load)
+            except Exception as e:  # bad checkpoint: restore the previous model
+                log.exception("checkpoint load failed; rolling back")
+                s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny = prev
+                restore = ""
+                try:
+                    await loop.run_in_executor(None, service.load)
+                    restore = "previous model restored"
+                except Exception as e2:
+                    restore = f"previous model restore also failed: {e2}"
+                raise web.HTTPBadRequest(
+                    text=json.dumps({"error": f"load failed: {e}", "rollback": restore}))
         try:
             os.makedirs(os.path.dirname(_last_model_path()), exist_ok=True)
             with open(_last_model_path(), "w", encoding="utf-8") as f:

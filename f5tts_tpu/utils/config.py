@@ -60,6 +60,15 @@ class Settings:
             v = getattr(self, name)
             if v and not RATE_LIMIT_RE.match(v):
                 raise ValueError(f"{name} must look like '5/minute', got {v!r}")
+        # fail sampler-acceleration typos at startup, not per-request
+        if self.cfg_interval:
+            from f5tts_tpu.sampling.euler import parse_cfg_interval
+
+            parse_cfg_interval(self.cfg_interval)
+            if self.cfg_cache > 1:
+                raise ValueError("cfg_interval and cfg_cache are mutually exclusive")
+        if self.cfg_cache < 1:
+            raise ValueError("cfg_cache must be >= 1")
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":

@@ -215,6 +215,22 @@ def test_model_info_and_ckpt_picker_validation(client):
                       json={"text": "still alive.", "nfe_step": 2})
     assert resp.status == 200 and body[:4] == b"RIFF"
 
+    # paths that exist but are not checkpoints: load fails AND the previous
+    # (demo) model is rolled back, so serving continues
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        for name in ("m.pt", "v.txt", "voc.bin"):
+            open(os.path.join(d, name), "w").write("not a checkpoint")
+        resp, body = _req(client, "POST", "/v1/load_model",
+                          json={"tts_ckpt": os.path.join(d, "m.pt"),
+                                "tts_vocab": os.path.join(d, "v.txt"),
+                                "vocoder_ckpt": os.path.join(d, "voc.bin")})
+        assert resp.status == 400
+        assert "previous model restored" in json.loads(body).get("rollback", "")
+    resp, body = _req(client, "POST", "/v1/audio/speech",
+                      json={"text": "rolled back fine.", "nfe_step": 2})
+    assert resp.status == 200 and body[:4] == b"RIFF"
+
 
 def test_server_sampler_acceleration_knobs():
     """F5TPU_CFG_CACHE / F5TPU_CFG_INTERVAL settings reach the engine and the
