@@ -135,10 +135,17 @@ class ModelService:
         self._load_voices()
         if s.warmup:
             batches = [int(v) for v in str(s.warmup_batches).split(",") if v.strip()]
-            log.info("warming up (duration bucket %d, batch buckets %s)...",
-                     self.engine.cfg.duration_buckets[0], batches)
+            durations = [int(v) for v in str(s.warmup_buckets).split(",") if v.strip()] \
+                or [self.engine.cfg.duration_buckets[0]]
+            for d in durations:
+                if d not in self.engine.cfg.duration_buckets:
+                    raise ValueError(
+                        f"warmup bucket {d} not in engine duration buckets "
+                        f"{self.engine.cfg.duration_buckets}")
+            log.info("warming up (duration buckets %s, batch buckets %s)...",
+                     durations, batches)
             self.engine.warmup(
-                buckets=[(self.engine.cfg.duration_buckets[0], b) for b in batches]
+                buckets=[(d, b) for d in durations for b in batches]
             )
         log.info("models loaded (demo_tiny=%s)", s.demo_tiny)
 

@@ -46,9 +46,11 @@ class Settings:
     max_batch: int = 32
     batch_wait_ms: float = 15.0
     warmup: bool = True  # pre-compile the smallest bucket at load
-    # comma list of batch buckets to pre-compile at the smallest duration
-    # bucket (first co-arriving burst otherwise pays a cold compile)
+    # comma lists of batch / duration buckets to pre-compile at load (every
+    # distinct (duration, batch, knob) program otherwise pays a cold compile
+    # on its first request); empty warmup_buckets = smallest duration bucket
     warmup_batches: str = "1"
+    warmup_buckets: str = ""
     config_name: str = ""
     # training-free sampler accelerations (BENCH.md measurements); empty/1 =
     # the reference's exact always-guided behavior
