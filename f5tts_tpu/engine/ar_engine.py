@@ -96,8 +96,9 @@ class ParlerTTSEngine:
     config #3 runs this at batch 16.
 
     Token ids come from the caller (the real checkpoint's T5 tokenizer is a
-    sentencepiece asset fetched with the weights; any callable
-    ``texts -> (ids, mask)`` plugs in via ``encode_fn``).
+    sentencepiece asset fetched with the weights; any per-string callable
+    ``text -> list[int]`` plugs in via ``encode_fn`` — padding/masking is
+    handled here).
     """
 
     def __init__(self, t5_params, t5_cfg, dec_params, dec_cfg, dac_params, dac_cfg,

@@ -57,6 +57,13 @@ class ContinuousBatcher:
         if self._thread:
             self._thread.join(timeout=5)
             self._thread = None
+        # fail queued jobs immediately — abandoned futures would otherwise
+        # pin their waiters for the caller's full result() timeout
+        with self._lock:
+            orphans, self._jobs = self._jobs, []
+        for job in orphans:
+            if not job.future.done():
+                job.future.set_exception(OverloadedError("batcher stopped during unload"))
 
     def submit(self, row: RowSpec) -> Future:
         job = _Job(row)

@@ -46,6 +46,8 @@ class RateLimiter:
 
     def allow(self, client: str) -> bool:
         now = time.monotonic()
+        if len(self._hits) > 4096:  # evict clients idle past the window
+            self._hits = {c: h for c, h in self._hits.items() if h and now - h[-1] < self.window}
         hits = [t for t in self._hits.get(client, []) if now - t < self.window]
         if len(hits) >= self.limit:
             self._hits[client] = hits
@@ -70,13 +72,22 @@ class ModelService:
         self.failures = 0
         self.reloads = 0
         self._reloading = False
-        self._fail_lock = __import__("threading").Lock()
+        _threading = __import__("threading")
+        self._fail_lock = _threading.Lock()
+        # thread-level lifecycle serialization: covers the route handlers'
+        # executor calls AND the failure-recovery reload thread (the route
+        # layer's asyncio lock can't reach a raw thread)
+        self._lifecycle = _threading.RLock()
 
     @property
     def loaded(self) -> bool:
         return self.engine is not None
 
     def load(self):
+        with self._lifecycle:
+            self._load_locked()
+
+    def _load_locked(self):
         if self.loaded:
             return
         import jax
@@ -142,6 +153,13 @@ class ModelService:
                     raise ValueError(
                         f"warmup bucket {d} not in engine duration buckets "
                         f"{self.engine.cfg.duration_buckets}")
+            for bv in batches:
+                if bv not in self.engine.cfg.batch_buckets:
+                    # synthesize_rows snaps batches to these buckets — warming
+                    # any other size compiles a program that is never used
+                    raise ValueError(
+                        f"warmup batch {bv} not in engine batch buckets "
+                        f"{self.engine.cfg.batch_buckets}")
             log.info("warming up (duration buckets %s, batch buckets %s)...",
                      durations, batches)
             self.engine.warmup(
@@ -168,13 +186,20 @@ class ModelService:
             self.voices["default"] = (tone, sr, "reference audio.")
 
     def unload(self):
-        if self.batcher:
-            self.batcher.stop()
-        self.engine = None
-        self.batcher = None
-        self.voices.clear()
+        with self._lifecycle:
+            if self.batcher:
+                self.batcher.stop()
+            self.engine = None
+            self.batcher = None
+            self.voices.clear()
 
     def synthesize_sync(self, req: SpeechRequest) -> bytes:
+        # snapshot the engine/batcher refs: a concurrent unload/hot-swap nulls
+        # the attributes, but in-flight work may finish against the old
+        # objects (they stay alive through these locals)
+        engine, batcher = self.engine, self.batcher
+        if engine is None or batcher is None:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
         voice = req.voice or next(iter(self.voices))
         if voice not in self.voices:
             raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
@@ -189,17 +214,17 @@ class ModelService:
                 if seg_voice == voice and req.ref_text:
                     ref_text = req.ref_text
                 ref_text = ensure_sentence_punctuation(ref_text)
-                plans.append(self.engine.prepare_request(
+                plans.append(engine.prepare_request(
                     seg_text, ref_audio, ref_sr, ref_text,
                     speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
                 ))
             # chunk rows go through the continuous batcher so concurrent
             # requests (and segments) share batched ODE solves
-            futures = [[self.batcher.submit(row) for row in plan.rows] for plan in plans]
+            futures = [[batcher.submit(row) for row in plan.rows] for plan in plans]
             waves = []
             for plan, fs in zip(plans, futures):
                 results = [f.result(timeout=600) for f in fs]
-                seg_wave, sr, _ = self.engine.finalize_request(plan, results)
+                seg_wave, sr, _ = engine.finalize_request(plan, results)
                 waves.append(seg_wave)
             wave = waves[0] if len(waves) == 1 else np.concatenate(waves)
         except web.HTTPException:
@@ -244,6 +269,11 @@ async def timing_middleware(request: web.Request, handler):
     start = time.monotonic()
     try:
         resp = await handler(request)
+    except web.HTTPException as e:
+        # error responses carry the timing header too (HTTPExceptions ARE
+        # the responses in aiohttp — mutate, then re-raise)
+        e.headers["X-Response-Time"] = f"{time.monotonic() - start:.3f}s"
+        raise
     finally:
         dur = time.monotonic() - start
         log.info("%s %s took %.3fs", request.method, request.path, dur)
@@ -251,15 +281,25 @@ async def timing_middleware(request: web.Request, handler):
     return resp
 
 
+def _cors(headers) -> None:
+    headers["Access-Control-Allow-Origin"] = "*"
+    headers["Access-Control-Allow-Methods"] = "GET,POST,OPTIONS"
+    headers["Access-Control-Allow-Headers"] = "*"
+
+
 @web.middleware
 async def cors_middleware(request: web.Request, handler):
     if request.method == "OPTIONS":
         resp = web.Response()
     else:
-        resp = await handler(request)
-    resp.headers["Access-Control-Allow-Origin"] = "*"
-    resp.headers["Access-Control-Allow-Methods"] = "GET,POST,OPTIONS"
-    resp.headers["Access-Control-Allow-Headers"] = "*"
+        try:
+            resp = await handler(request)
+        except web.HTTPException as e:
+            # without these a browser client sees an opaque CORS failure
+            # instead of the JSON error body (400/429/503 all raise)
+            _cors(e.headers)
+            raise
+    _cors(resp.headers)
     return resp
 
 
@@ -320,6 +360,19 @@ def build_app(settings: Settings) -> web.Application:
         await resp.write(header)
 
         q: _queue.Queue = _queue.Queue(maxsize=4)
+        abandoned = __import__("threading").Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone — a plain
+            # q.put() would block this executor thread forever after a client
+            # disconnect, leaking one pool thread per dropped stream
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -327,20 +380,24 @@ def build_app(settings: Settings) -> web.Application:
                     req.effective_text, ref_audio, ref_sr, ref_text,
                     speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
                 ):
-                    q.put(native.encode_pcm16(seg).tobytes())
+                    if not _put(native.encode_pcm16(seg).tobytes()):
+                        return
             except Exception as e:  # surfaced as stream truncation
                 log.error("stream synthesis failed: %s", e)
             finally:
-                q.put(None)
+                _put(None)
 
         loop = asyncio.get_running_loop()
         loop.run_in_executor(None, produce)
-        while True:
-            chunk = await loop.run_in_executor(None, q.get)
-            if chunk is None:
-                break
-            await resp.write(chunk)
-        await resp.write_eof()
+        try:
+            while True:
+                chunk = await loop.run_in_executor(None, q.get)
+                if chunk is None:
+                    break
+                await resp.write(chunk)
+            await resp.write_eof()
+        finally:
+            abandoned.set()
         return resp
 
     async def transcribe(request: web.Request) -> web.Response:

@@ -22,6 +22,7 @@ PAGE = """<!doctype html>
  cfg <input id="cfg" type="number" value="2.0" step="0.5" style="width:4.5rem">
  speed <input id="speed" type="number" value="1.0" step="0.1" style="width:4.5rem">
  seed <input id="seed" type="number" placeholder="rand" style="width:5rem">
+ key <input id="apikey" type="password" placeholder="api key" style="width:7rem" title="sent as Authorization: Bearer (only needed when the server enforces F5TPU_API_KEY)">
 </div>
 <div class="row"><button id="go">Synthesize</button><span id="status"></span></div>
 <div class="row"><audio id="player" controls style="width:100%"></audio></div>
@@ -43,9 +44,22 @@ reference Gradio app's voice-chat tab (`infer_gradio.py:534-739`) as a browser f
  <input id="vocoder" placeholder="vocos checkpoint" style="width:49%"></div>
 <div class="row"><button id="loadmodel">Load model</button><span id="mstatus"></span></div>
 <script>
+function authH(extra) {
+  const k = document.getElementById('apikey').value || localStorage.getItem('f5tpu_key') || '';
+  if (document.getElementById('apikey').value) localStorage.setItem('f5tpu_key', document.getElementById('apikey').value);
+  const h = extra || {};
+  if (k) h['Authorization'] = 'Bearer ' + k;
+  return h;
+}
+window.addEventListener('DOMContentLoaded', () => {
+  const saved = localStorage.getItem('f5tpu_key');
+  if (saved) document.getElementById('apikey').value = saved;
+});
+</script>
+<script>
 async function loadModelInfo() {
   try {
-    const m = await (await fetch('/v1/model')).json();
+    const m = await (await fetch('/v1/model', {headers: authH()})).json();
     const last = m.last_used || {};
     document.getElementById('ckpt').value = m.tts_ckpt || last.tts_ckpt || '';
     document.getElementById('vocab').value = m.tts_vocab || last.tts_vocab || '';
@@ -61,7 +75,7 @@ document.getElementById('loadmodel').onclick = async () => {
     tts_vocab: document.getElementById('vocab').value,
     vocoder_ckpt: document.getElementById('vocoder').value,
   };
-  const r = await fetch('/v1/load_model', {method:'POST', headers:{'content-type':'application/json'}, body: JSON.stringify(body)});
+  const r = await fetch('/v1/load_model', {method:'POST', headers: authH({'content-type':'application/json'}), body: JSON.stringify(body)});
   st.textContent = r.ok ? 'loaded' : 'error: ' + (await r.text());
 };
 loadModelInfo();
@@ -79,7 +93,7 @@ document.getElementById('rec').onclick = async () => {
       st.textContent = 'thinking...';
       const fd = new FormData();
       fd.append('file', new Blob(chunks), 'input.webm');
-      const r = await fetch('/v1/speech_to_speech', {method: 'POST', body: fd});
+      const r = await fetch('/v1/speech_to_speech', {method: 'POST', headers: authH(), body: fd});
       if (!r.ok) { st.textContent = 'error: ' + (await r.text()); return; }
       const blob = await r.blob();
       document.getElementById('vplayer').src = URL.createObjectURL(blob);
@@ -93,7 +107,7 @@ document.getElementById('rec').onclick = async () => {
 <script>
 async function loadVoices() {
   try {
-    const h = await (await fetch('/v1/voices')).json();
+    const h = await (await fetch('/v1/voices', {headers: authH()})).json();
     const sel = document.getElementById('voice');
     const styles = document.getElementById('styles');
     for (const v of h.voices) {
@@ -126,7 +140,7 @@ document.getElementById('go').onclick = async () => {
   const seed = document.getElementById('seed').value;
   if (seed !== '') body.seed = parseInt(seed);
   const t0 = performance.now();
-  const r = await fetch('/v1/audio/speech', {method:'POST', headers:{'content-type':'application/json'}, body: JSON.stringify(body)});
+  const r = await fetch('/v1/audio/speech', {method:'POST', headers: authH({'content-type':'application/json'}), body: JSON.stringify(body)});
   if (!r.ok) { status.textContent = 'error: ' + (await r.text()); return; }
   const blob = await r.blob();
   document.getElementById('player').src = URL.createObjectURL(blob);

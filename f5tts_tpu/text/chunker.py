@@ -46,7 +46,7 @@ def duration_frames(
     return ref_frames + int(ref_frames / ref_bytes * gen_bytes / speed)
 
 
-_STYLE_TAG = re.compile(r"\{(\w+)\}|\[(\w+)\]")
+_STYLE_TAG = re.compile(r"\{([\w.-]+)\}|\[([\w.-]+)\]")  # voice stems may carry - or .
 
 
 def split_style_segments(

@@ -58,3 +58,25 @@ def test_batcher_overload_sheds():
     shed = [f for f in futs if f.done() and isinstance(f.exception(), OverloadedError)]
     assert len(shed) == 2  # queue cap 3, two rejected
     b._jobs.clear()
+
+
+def test_stop_fails_queued_futures():
+    """stop() must resolve still-queued futures instead of abandoning them
+    (waiters would otherwise block for their full result() timeout)."""
+    import pytest
+
+    from f5tts_tpu.engine.batcher import ContinuousBatcher, OverloadedError, _Job
+    from f5tts_tpu.engine.engine import RowSpec
+
+    b = ContinuousBatcher.__new__(ContinuousBatcher)
+    import threading
+
+    b._jobs = [_Job(row=None)]
+    b._lock = threading.Lock()
+    b._wake = threading.Event()
+    b._stop = False
+    b._thread = None
+    orphan = b._jobs[0].future
+    b.stop()
+    with pytest.raises(OverloadedError):
+        orphan.result(timeout=1)

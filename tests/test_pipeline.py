@@ -157,3 +157,15 @@ def test_split_style_segments_tagless_and_empty():
 
     assert split_style_segments("plain text.", ["v"], default="v") == [("v", "plain text.")]
     assert split_style_segments("", ["v"], default="v") == [("v", "")]
+
+
+def test_split_style_segments_hyphenated_voice():
+    """Voice file stems may carry hyphens/dots; their tags must still switch
+    (the web UI generates {stem} buttons straight from the voices dir)."""
+    from f5tts_tpu.text.chunker import split_style_segments
+
+    segs = split_style_segments(
+        "hello there. {priya-hindi} namaste. {v2.5} hi again.",
+        {"priya-hindi": 1, "v2.5": 1, "main": 1}, default="main")
+    assert segs == [("main", "hello there."), ("priya-hindi", "namaste."),
+                    ("v2.5", "hi again.")]
