@@ -122,11 +122,15 @@ class ParlerTTSEngine:
         out = np.zeros((b, pad_to), np.int32)
         mask = np.zeros((b, pad_to), bool)
         for i, ids in enumerate(ids_list):
-            ids = np.asarray(ids, np.int32)[:pad_to]
+            ids = np.asarray(ids, np.int32)
             if side == "left":
+                # over-long prompts keep their TAIL: the tokens abutting the
+                # decoder start are the ones the position layout depends on
+                ids = ids[-pad_to:]
                 out[i, pad_to - len(ids):] = ids
                 mask[i, pad_to - len(ids):] = True
             else:
+                ids = ids[:pad_to]
                 out[i, : len(ids)] = ids
                 mask[i, : len(ids)] = True
         return out, mask

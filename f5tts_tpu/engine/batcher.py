@@ -52,7 +52,8 @@ class ContinuousBatcher:
         return self
 
     def stop(self):
-        self._stop = True
+        with self._lock:
+            self._stop = True
         self._wake.set()
         if self._thread:
             self._thread.join(timeout=5)
@@ -68,6 +69,11 @@ class ContinuousBatcher:
     def submit(self, row: RowSpec) -> Future:
         job = _Job(row)
         with self._lock:
+            if self._stop:
+                # a request racing unload would otherwise enqueue onto a dead
+                # worker and block its waiter for the full result() timeout
+                job.future.set_exception(OverloadedError("batcher stopped (model unloading)"))
+                return job.future
             if len(self._jobs) >= self.max_queue:
                 # overload protection: shed load instead of growing unboundedly
                 job.future.set_exception(OverloadedError(f"batcher queue full ({self.max_queue})"))

@@ -33,7 +33,7 @@ from f5tts_tpu.audio.preprocess import TARGET_RMS, TARGET_SR, normalize_rms, res
 from f5tts_tpu.audio.stitch import crossfade_concat
 from f5tts_tpu.models.dit import DiTConfig, dit_embed, dit_forward
 from f5tts_tpu.models.vocos import VocosConfig, vocos_decode
-from f5tts_tpu.ops.mel import MelConfig, log_mel_spectrogram
+from f5tts_tpu.ops.mel import MelConfig, bucketed_log_mel
 from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm
 from f5tts_tpu.text.chunker import chunk_text, duration_frames, max_chars_for_ref
 from f5tts_tpu.text.tokenizer import Tokenizer
@@ -66,15 +66,8 @@ def _bucket(v: int, buckets: tuple[int, ...]) -> int:
 
 
 def _ref_mel(wav: np.ndarray, mel_cfg: MelConfig) -> np.ndarray:
-    """Log-mel of a reference clip, with the sample count padded to a 32768
-    bucket so XLA compiles the mel graph a bounded number of times instead of
-    once per distinct reference length."""
-    n = len(wav)
-    padded = ((n + 32767) // 32768) * 32768
-    frames = n // mel_cfg.hop_length
-    wav = np.pad(wav, (0, padded - n))
-    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), mel_cfg))[0]
-    return mel[:frames]
+    """Log-mel of a reference clip (sample-bucketed to bound XLA compiles)."""
+    return bucketed_log_mel(wav, mel_cfg)
 
 
 @dataclass

@@ -383,7 +383,10 @@ def parler_loss(params, cfg: ParlerDecoderConfig, codes, code_mask, enc, enc_mas
     """Teacher-forced next-token cross-entropy, averaged over valid positions
     and codebooks. ``codes`` already carries the delay pattern (pad-filled);
     positions where ``code_mask`` is False (or the target is the pad slot)
-    are excluded — HF trains with those labels set to -100."""
+    are excluded — HF trains with those labels set to -100. ``pad_token``
+    defaults to the extra pad/bos embedding slot ``cfg.vocab`` (the value
+    ``build_delay_pattern`` fills with); pass another id to override, or a
+    negative value to disable pad exclusion."""
     inp = codes[..., :-1]
     tgt = codes[..., 1:]
     logits = parler_decoder_forward(params, cfg, inp, enc, enc_mask, prompt_ids,
@@ -391,8 +394,10 @@ def parler_loss(params, cfg: ParlerDecoderConfig, codes, code_mask, enc, enc_mas
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, jnp.minimum(tgt, cfg.vocab - 1)[..., None], axis=-1)[..., 0]
     w = code_mask[..., 1:].astype(jnp.float32)
-    if pad_token is not None:
-        w = w * (tgt != pad_token)
+    pad = cfg.vocab if pad_token is None else pad_token
+    if pad >= 0:
+        # without this, pad targets clamp to real token vocab-1 and get trained
+        w = w * (tgt != pad)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
@@ -741,11 +746,13 @@ def _w(sd, name):
 
 
 def _lin_t(sd, prefix):
-    """torch Linear (out,in) -> {'w': (in,out)} (+bias)."""
-    p = {"w": np.ascontiguousarray(_w(sd, f"{prefix}.weight").T)}
-    if f"{prefix}.bias" in sd:
-        p["b"] = _w(sd, f"{prefix}.bias")
-    return p
+    """torch Linear (out,in) -> {'w': (in,out)} (+bias), float32-coerced.
+
+    The transpose logic is shared with ``models.convert._lin`` — one place to
+    fix layout handling for every converter in the package."""
+    from f5tts_tpu.models.convert import _lin
+
+    return {k: np.asarray(v, np.float32) for k, v in _lin(sd, prefix).items()}
 
 
 def convert_t5_encoder(sd: dict, cfg: T5Config, prefix: str = "") -> dict:

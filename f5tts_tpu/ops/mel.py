@@ -197,3 +197,19 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.n
     # tiny (freq x mel) contraction; force full fp32 accumulation for parity
     mel = jnp.einsum("bnf,fm->bnm", mag, jnp.asarray(fb, dtype=mag.dtype), precision=jax.lax.Precision.HIGHEST)
     return jnp.log(jnp.clip(mel, min=1e-5))
+
+
+def bucketed_log_mel(wav: np.ndarray, cfg: MelConfig = MelConfig(), bucket: int = 32_768) -> np.ndarray:
+    """Host API: log-mel of ONE waveform ``(samples,)`` -> ``(frames, n_mels)``.
+
+    Pads the sample count up to a ``bucket`` multiple before the jitted
+    ``log_mel_spectrogram`` and slices back to the true ``samples // hop``
+    frame count — so XLA compiles the mel graph a bounded number of times
+    instead of once per distinct utterance length (a real corpus has thousands
+    of distinct lengths; through a remote-compile tunnel each is minutes)."""
+    n = len(wav)
+    padded = -(-max(n, 1) // bucket) * bucket
+    frames = n // cfg.hop_length
+    wav = np.pad(np.asarray(wav, np.float32), (0, padded - n))
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), cfg))[0]
+    return mel[:frames]

@@ -91,28 +91,26 @@ class FramePackedDataset:
     def _load_mel(self, idx: int) -> np.ndarray:
         it = self.items[idx]
         if it.hf_index is not None and hasattr(self, "_hf_arrays"):
-            import jax.numpy as jnp
-
             from f5tts_tpu.audio.preprocess import resample
-            from f5tts_tpu.ops.mel import log_mel_spectrogram
+            from f5tts_tpu.ops.mel import bucketed_log_mel
 
             arr, sr = self._hf_arrays[it.hf_index]
             arr = resample(arr, sr, self.mel_cfg.sample_rate)
-            return np.asarray(log_mel_spectrogram(jnp.asarray(arr[None]), self.mel_cfg))[0]
+            # sample-bucketed: one XLA mel graph per 32k-sample bucket, not one
+            # per distinct utterance length (thousands in a real corpus)
+            return bucketed_log_mel(arr, self.mel_cfg)
         return self._load_mel_file(it)
 
     def _load_mel_file(self, it: Item) -> np.ndarray:
         if it.mel_path:
             return np.load(it.mel_path).astype(np.float32)
-        import jax.numpy as jnp
-
         from f5tts_tpu.audio.io import read_wav
         from f5tts_tpu.audio.preprocess import resample
-        from f5tts_tpu.ops.mel import log_mel_spectrogram
+        from f5tts_tpu.ops.mel import bucketed_log_mel
 
         wav, sr = read_wav(it.wav_path)
         wav = resample(wav, sr, self.mel_cfg.sample_rate)
-        return np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), self.mel_cfg))[0]
+        return bucketed_log_mel(wav, self.mel_cfg)
 
     def pack_batches(self, batch_frames: int, max_samples: int, seed: int) -> list[list[int]]:
         order = sorted(range(len(self.items)), key=lambda i: self.items[i].n_frames)

@@ -234,7 +234,11 @@ class Trainer:
         step = make_train_step(self.model_cfg, self.train_cfg, self.compute_dtype,
                                accum_steps=self.train_cfg.max_grad_accum)
         if self.mesh is not None:
-            data_sh = NamedSharding(self.mesh, P("data"))
+            # with grad accumulation the batch carries a leading (accum, ...)
+            # axis that step_fn scans over — shard the per-sample rows (axis 1),
+            # not the accumulation axis, or data parallelism is silently lost
+            rows = P("data") if self.train_cfg.max_grad_accum == 1 else P(None, "data")
+            data_sh = NamedSharding(self.mesh, rows)
             scalar_sh = NamedSharding(self.mesh, P())
             batch_sh = {"mel": data_sh, "text": data_sh, "lens": data_sh, "key": scalar_sh}
             self._step_fn = jax.jit(
@@ -260,6 +264,10 @@ class Trainer:
         key = jax.random.PRNGKey(self.train_cfg.seed + 1)
         t0 = time.time()
         frames_done = 0
+        # track the step counter host-side: int(state["step"]) every iteration
+        # would block on the async-dispatched step just to read a counter,
+        # serializing data loading with device compute
+        base_step = int(state["step"])
         for i, batch in enumerate(batches):
             if total_updates is not None and i >= total_updates:
                 break
@@ -272,7 +280,7 @@ class Trainer:
             }
             state, metrics = self._step_fn(state, device_batch)
             frames_done += int(np.sum(batch["lens"]))
-            step_no = int(state["step"])
+            step_no = base_step + i + 1
             if self.logger and step_no % self.log_every == 0:
                 dt = time.time() - t0
                 self.logger(

@@ -58,3 +58,21 @@ def test_parler_engine_batch16():
     # same seed -> deterministic
     waves2 = eng.synthesize_batch(descs, prompts)
     np.testing.assert_array_equal(waves[0], waves2[0])
+
+
+def test_pad_ids_left_truncation_keeps_tail():
+    """Over-long left-padded prompts must keep their LAST pad_to tokens — the
+    transcript tail abuts the decoder start in the trained position layout;
+    right-padded descriptions keep the head."""
+    from f5tts_tpu.engine.ar_engine import ParlerTTSEngine
+
+    ids = list(range(1, 11))  # 10 tokens, pad_to 4
+    out, mask = ParlerTTSEngine._pad_ids(None, [ids], 4, side="left")
+    assert out[0].tolist() == [7, 8, 9, 10]
+    assert mask[0].all()
+    out, mask = ParlerTTSEngine._pad_ids(None, [ids], 4, side="right")
+    assert out[0].tolist() == [1, 2, 3, 4]
+    # short prompts are untouched: left-padded into the tail slots
+    out, mask = ParlerTTSEngine._pad_ids(None, [[5, 6]], 4, side="left")
+    assert out[0].tolist() == [0, 0, 5, 6]
+    assert mask[0].tolist() == [False, False, True, True]

@@ -80,3 +80,16 @@ def test_stop_fails_queued_futures():
     b.stop()
     with pytest.raises(OverloadedError):
         orphan.result(timeout=1)
+
+
+def test_submit_after_stop_fails_fast():
+    """A submit racing (or following) stop() must fail immediately instead of
+    enqueueing onto a dead worker and pinning its waiter for the full
+    result() timeout (serve unload snapshots the batcher ref, so this race
+    is reachable from the request path)."""
+    b = ContinuousBatcher(engine=None)  # never started: no engine touch
+    b.stop()
+    fut = b.submit(_row(None, 0))
+    with pytest.raises(OverloadedError):
+        fut.result(timeout=1)
+    assert not b._jobs  # nothing left queued

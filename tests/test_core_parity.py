@@ -322,3 +322,26 @@ def test_cfg_cache_period(tiny_params):
         sample_cfm(tiny_params, TINY,
                    sampler=SamplerConfig(steps=4, cfg_cache_period=2,
                                          cfg_interval=(0.0, 0.5)), **kw)
+
+
+def test_bucketed_log_mel_invariant_to_bucket_size():
+    """The shared host mel helper (engine ref-mels + training data pipeline)
+    pads samples to a bucket so XLA compiles a bounded number of mel graphs;
+    the returned frames must not depend on the bucket chosen, and must match
+    the unpadded mel everywhere the analysis window doesn't cross the pad
+    boundary (last 2 frames read zero-pad vs reflect-pad)."""
+    import jax.numpy as jnp
+
+    from f5tts_tpu.ops.mel import MelConfig, bucketed_log_mel, log_mel_spectrogram
+
+    cfg = MelConfig()
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal(12_345).astype(np.float32) * 0.1
+
+    a = bucketed_log_mel(wav, cfg, bucket=32_768)
+    b = bucketed_log_mel(wav, cfg, bucket=4_096)
+    assert a.shape == (len(wav) // cfg.hop_length, cfg.n_mels)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    full = np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), cfg))[0]
+    np.testing.assert_allclose(a[:-2], full[: a.shape[0] - 2], atol=1e-4)

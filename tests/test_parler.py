@@ -430,3 +430,27 @@ def test_parler_prompt_left_pad_row_isolation():
                                    prompt_ids=prompts_b, prompt_mask=masks_b,
                                    temperature=0.0, eos_token=-1)
     np.testing.assert_array_equal(np.asarray(codes_a)[0], np.asarray(codes_b)[0])
+
+
+def test_parler_loss_default_pad_exclusion():
+    """pad exclusion must be ON by default: build_delay_pattern fills with the
+    extra pad/bos slot (cfg.vocab), whose clamped gather would otherwise train
+    real token vocab-1 where HF sets the label to -100."""
+    _seed()
+    _, cfg = _tiny_musicgen()
+    b, m_len, frames = 2, 5, 4
+    K, pad = cfg.codebooks, cfg.vocab
+    params = P.init_parler_decoder(jax.random.PRNGKey(2), cfg)
+    enc = jnp.asarray(np.random.randn(b, m_len, cfg.hidden).astype(np.float32))
+    codes = np.random.randint(0, cfg.vocab, (b, K, frames))
+    delayed = P.build_delay_pattern(codes, pad, frames + K - 1)
+    full = np.concatenate([np.full((b, K, 1), pad), delayed], axis=2).astype(np.int32)
+    mask = np.ones_like(full, bool)
+
+    default = float(P.parler_loss(params, cfg, jnp.asarray(full), jnp.asarray(mask), enc))
+    explicit = float(P.parler_loss(params, cfg, jnp.asarray(full), jnp.asarray(mask), enc,
+                                   pad_token=pad))
+    disabled = float(P.parler_loss(params, cfg, jnp.asarray(full), jnp.asarray(mask), enc,
+                                   pad_token=-1))
+    assert default == explicit
+    assert default != disabled  # pad targets were being trained when disabled

@@ -241,3 +241,28 @@ def test_fit_with_grad_accum_groups_micro_batches():
 
     state2 = trainer.fit(state, iter(batches))
     assert int(state2["step"]) == 2  # 4 micro-batches -> 2 optimizer updates
+
+
+def test_fit_grad_accum_on_mesh_shards_rows():
+    """Under a mesh, grad-accumulated batches carry a leading (accum, ...)
+    axis that the step scans over — the in_shardings must partition the
+    per-sample rows (axis 1), not the accumulation axis. With 4 data-parallel
+    devices and accum 2, sharding axis 0 would fail dispatch outright."""
+    from f5tts_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(model_parallel=1, devices=jax.devices()[:4])  # data=4
+    cfg = TrainConfig(learning_rate=1e-3, warmup_updates=1, total_updates=50, max_grad_accum=2)
+    trainer = Trainer(TINY, cfg, mesh=mesh, compute_dtype=jnp.float32)
+    state, _ = trainer.init_or_resume()
+
+    rng = np.random.default_rng(0)
+
+    def micro():
+        return {
+            "mel": rng.standard_normal((4, 32, TINY.model.mel_dim)).astype(np.float32),
+            "text": rng.integers(0, 18, (4, 10)).astype(np.int32),
+            "lens": np.full((4,), 32, np.int32),
+        }
+
+    state2 = trainer.fit(state, iter([micro() for _ in range(4)]))
+    assert int(state2["step"]) == 2  # 4 micro-batches -> 2 accumulated updates
