@@ -16,18 +16,17 @@ import sys
 import numpy as np
 
 
-def build_argparser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser("f5tpu-infer", description="TPU-native F5-TTS inference")
-    p.add_argument("-c", "--config", default=None, help="TOML config file (flags override)")
-    p.add_argument("-m", "--model", default="F5TTS_Base", help="F5TTS_Base | F5TTS_Small | E2TTS_Base | E2TTS_Small")
-    p.add_argument("-p", "--ckpt-file", default="", help="torch .pt/.safetensors DiT checkpoint")
-    p.add_argument("-v", "--vocab-file", default="", help="vocab.txt (one char per line)")
+def add_engine_args(p: argparse.ArgumentParser, short: bool = False) -> None:
+    """Every flag ``build_engine`` reads off the args namespace — shared by
+    the infer / batch CSV / speech-edit CLIs so a knob added here reaches all
+    three (a parser missing any of these crashes build_engine)."""
+    m = ["-m"] if short else []
+    c = ["-p"] if short else []
+    v = ["-v"] if short else []
+    p.add_argument(*m, "--model", default="F5TTS_Base", help="F5TTS_Base | F5TTS_Small | E2TTS_Base | E2TTS_Small")
+    p.add_argument(*c, "--ckpt-file", default="", help="torch .pt/.safetensors DiT checkpoint")
+    p.add_argument(*v, "--vocab-file", default="", help="vocab.txt (one char per line)")
     p.add_argument("--vocoder-ckpt", default="", help="vocos torch checkpoint (pytorch_model.bin)")
-    p.add_argument("-r", "--ref-audio", default="", help="reference audio wav")
-    p.add_argument("-s", "--ref-text", default="", help="reference transcript")
-    p.add_argument("-t", "--gen-text", default="", help="text to synthesize")
-    p.add_argument("-f", "--gen-file", default="", help="file with text to synthesize")
-    p.add_argument("-o", "--output", default="out.wav")
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--cfg-strength", type=float, default=2.0)
     p.add_argument("--sway", type=float, default=-1.0)
@@ -35,14 +34,25 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cfg-interval", default="", help="lo,hi guidance interval: CFG only on steps with t in [lo,hi) — one forward instead of two elsewhere (arXiv:2404.07724)")
     p.add_argument("--cfg-cache", type=int, default=1, help="guidance caching period k: refresh the null branch every k-th step, reuse in between (guidance stays on every step); 1 = off")
     p.add_argument("--speed", type=float, default=1.0)
-    p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--fix-duration", type=float, default=None, help="total duration seconds")
     p.add_argument("--cross-fade", type=float, default=0.15)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"],
                    help="auto = flash kernels on TPU, XLA elsewhere")
-    p.add_argument("--remove-silence", action="store_true")
     p.add_argument("--demo-tiny", action="store_true", help="random-init tiny model (no checkpoint smoke test)")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("f5tpu-infer", description="TPU-native F5-TTS inference")
+    p.add_argument("-c", "--config", default=None, help="TOML config file (flags override)")
+    add_engine_args(p, short=True)
+    p.add_argument("-r", "--ref-audio", default="", help="reference audio wav")
+    p.add_argument("-s", "--ref-text", default="", help="reference transcript")
+    p.add_argument("-t", "--gen-text", default="", help="text to synthesize")
+    p.add_argument("-f", "--gen-file", default="", help="file with text to synthesize")
+    p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--fix-duration", type=float, default=None, help="total duration seconds")
+    p.add_argument("--remove-silence", action="store_true")
     return p
 
 
@@ -138,23 +148,6 @@ def build_engine(args):
     return TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg, **engine_fns)
 
 
-_VOICE_TAG = re.compile(r"(?=\[\w+\])")
-
-
-def split_voice_segments(gen_text: str) -> list[tuple[str, str]]:
-    """``[voice]`` tag parsing (``infer_cli.py:182-204``): returns (voice, text) runs."""
-    segments = []
-    for chunk in _VOICE_TAG.split(gen_text):
-        if not chunk.strip():
-            continue
-        m = re.match(r"\[(\w+)\]\s*", chunk)
-        if m:
-            segments.append((m.group(1), chunk[m.end() :]))
-        else:
-            segments.append(("main", chunk))
-    return segments
-
-
 def main(argv=None):
     from f5tts_tpu.utils.cache import enable_compilation_cache
 
@@ -190,11 +183,18 @@ def main(argv=None):
         v_audio = clip_ref_audio(v_audio, v_sr)
         voices[name] = (v_audio, v_sr, ensure_sentence_punctuation(spec.get("ref_text", "")))
 
+    # [voice] / {Style} tag parsing is shared with the server (one regex, one
+    # contract — hyphen/dot voice names included); tags that don't resolve to
+    # a known voice stay in the text verbatim, flagged here for CLI users
+    from f5tts_tpu.text.chunker import split_style_segments
+
+    known = {v.lower() for v in voices} | {"regular"}
+    for m in re.finditer(r"[\[{]([\w.-]+)[\]}]", gen_text):
+        if m.group(1).lower() not in known:
+            print(f"note: [{m.group(1)}] is not a known voice; leaving it as text", file=sys.stderr)
+
     waves = []
-    for voice, seg_text in split_voice_segments(gen_text):
-        if voice not in voices:
-            print(f"note: unknown voice [{voice}], using main", file=sys.stderr)
-            voice = "main"
+    for voice, seg_text in split_style_segments(gen_text, voices, default="main"):
         v_audio, v_sr, v_text = voices[voice]
         wave, sr, _ = engine.synthesize(
             seg_text, v_audio, v_sr, v_text,
@@ -203,6 +203,8 @@ def main(argv=None):
             cross_fade_duration=args.cross_fade,
         )
         waves.append(wave)
+    if not waves:
+        sys.exit("no synthesizable text left after voice-tag parsing")
     final = crossfade_concat(waves, 0.0) if len(waves) > 1 else waves[0]
 
     if args.remove_silence:

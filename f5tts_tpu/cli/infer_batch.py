@@ -27,18 +27,12 @@ def main(argv=None):
     p.add_argument("--out-dir", default="batch_out")
     p.add_argument("--ref-audio", default="", help="default reference wav when csv has no prompt_path")
     p.add_argument("--ref-text", default="", help="default reference transcript")
-    for flag, kw in [
-        ("--model", dict(default="F5TTS_Base")), ("--ckpt-file", dict(default="")),
-        ("--vocab-file", dict(default="")), ("--vocoder-ckpt", dict(default="")),
-        ("--nfe", dict(type=int, default=32)), ("--cfg-strength", dict(type=float, default=2.0)),
-        ("--sway", dict(type=float, default=-1.0)), ("--speed", dict(type=float, default=1.0)),
-        ("--seed", dict(type=int, default=None)), ("--dtype", dict(default="bfloat16")),
-        ("--attn", dict(default="auto")), ("--cross-fade", dict(type=float, default=0.15)),
-        ("--demo-tiny", dict(action="store_true")),
-    ]:
-        p.add_argument(flag, **kw)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--fix-duration", type=float, default=None)
     p.add_argument("--config", default=None)
+    from f5tts_tpu.cli.infer import add_engine_args
+
+    add_engine_args(p)
     args = p.parse_args(argv)
 
     from f5tts_tpu.utils.cache import enable_compilation_cache
@@ -60,6 +54,10 @@ def main(argv=None):
     for i, row in enumerate(rows):
         groups[row.get("prompt_path") or args.ref_audio].append(i)
 
+    # host-side prep for EVERY csv row first, then one synthesize_rows pass:
+    # chunk rows from all requests (any voice) batch into shared bucketed ODE
+    # solves — the per-row engine.synthesize loop would pay one solve per row
+    plans: list[tuple[int, object]] = []
     for ref_path, idxs in groups.items():
         if ref_path:
             ref_audio, ref_sr = read_wav(ref_path)
@@ -74,20 +72,29 @@ def main(argv=None):
         ref_text = ensure_sentence_punctuation(ref_text)
 
         for i in idxs:
-            row = rows[i]
-            wave, sr, _ = engine.synthesize(
-                row["text"], ref_audio, ref_sr, ref_text,
+            plans.append((i, engine.prepare_request(
+                rows[i]["text"], ref_audio, ref_sr, ref_text,
                 speed=args.speed, nfe_step=args.nfe, cfg_strength=args.cfg_strength,
                 seed=args.seed, cross_fade_duration=args.cross_fade,
                 fix_duration_secs=args.fix_duration,
-            )
-            sub = row.get("language") or ""
-            out_dir = os.path.join(args.out_dir, sub) if sub else args.out_dir
-            os.makedirs(out_dir, exist_ok=True)
-            name = row.get("id") or f"row{i:05d}"
-            out = os.path.join(out_dir, f"{name}.wav")
-            write_wav(out, wave, sr)
-            print(f"wrote {out} ({len(wave)/sr:.2f}s)")
+            )))
+
+    all_rows = [r for _, plan in plans for r in plan.rows]
+    all_results = engine.synthesize_rows(all_rows)
+
+    pos = 0
+    for i, plan in plans:
+        k = len(plan.rows)
+        wave, sr, _ = engine.finalize_request(plan, all_results[pos : pos + k])
+        pos += k
+        row = rows[i]
+        sub = row.get("language") or ""
+        out_dir = os.path.join(args.out_dir, sub) if sub else args.out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        name = row.get("id") or f"row{i:05d}"
+        out = os.path.join(out_dir, f"{name}.wav")
+        write_wav(out, wave, sr)
+        print(f"wrote {out} ({len(wave)/sr:.2f}s)")
 
 
 if __name__ == "__main__":

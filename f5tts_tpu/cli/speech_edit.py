@@ -21,20 +21,11 @@ def main(argv=None):
                    help="semicolon list of start,end seconds to regenerate, e.g. '1.42,2.44;4.04,4.9'")
     p.add_argument("--fix-durations", default="", help="semicolon list of new span lengths in seconds")
     p.add_argument("-o", "--output", default="edited.wav")
-    p.add_argument("--nfe", type=int, default=32)
-    p.add_argument("--cfg-strength", type=float, default=2.0)
-    p.add_argument("--sway", type=float, default=-1.0)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--model", default="F5TTS_Base")
-    p.add_argument("--ckpt-file", default="")
-    p.add_argument("--vocab-file", default="")
-    p.add_argument("--vocoder-ckpt", default="")
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--attn", default="auto")
-    p.add_argument("--speed", type=float, default=1.0)
-    p.add_argument("--cross-fade", type=float, default=0.15)
-    p.add_argument("--demo-tiny", action="store_true")
     p.add_argument("--config", default=None)
+    from f5tts_tpu.cli.infer import add_engine_args
+
+    add_engine_args(p)
     args = p.parse_args(argv)
 
     try:

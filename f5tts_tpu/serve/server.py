@@ -141,36 +141,39 @@ class ModelService:
                 cfg_cache_period=s.cfg_cache,
             )
             engine_cfg = dataclasses.replace(engine_cfg, sampler=sampler)
-        self.engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg)
-        self.batcher = ContinuousBatcher(self.engine, s.max_batch, s.batch_wait_ms).start()
-        self._load_voices()
+        # build everything into locals and publish only on full success: a
+        # failure in voices/warmup must not leave self.engine set (loaded=True
+        # for a half-initialized model makes load_model's rollback a no-op)
+        engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg)
+        voices = self._read_voices()
         if s.warmup:
             batches = [int(v) for v in str(s.warmup_batches).split(",") if v.strip()]
             durations = [int(v) for v in str(s.warmup_buckets).split(",") if v.strip()] \
-                or [self.engine.cfg.duration_buckets[0]]
+                or [engine.cfg.duration_buckets[0]]
             for d in durations:
-                if d not in self.engine.cfg.duration_buckets:
+                if d not in engine.cfg.duration_buckets:
                     raise ValueError(
                         f"warmup bucket {d} not in engine duration buckets "
-                        f"{self.engine.cfg.duration_buckets}")
+                        f"{engine.cfg.duration_buckets}")
             for bv in batches:
-                if bv not in self.engine.cfg.batch_buckets:
+                if bv not in engine.cfg.batch_buckets:
                     # synthesize_rows snaps batches to these buckets — warming
                     # any other size compiles a program that is never used
                     raise ValueError(
                         f"warmup batch {bv} not in engine batch buckets "
-                        f"{self.engine.cfg.batch_buckets}")
+                        f"{engine.cfg.batch_buckets}")
             log.info("warming up (duration buckets %s, batch buckets %s)...",
                      durations, batches)
-            self.engine.warmup(
-                buckets=[(d, b) for d in durations for b in batches]
-            )
+            engine.warmup(buckets=[(d, b) for d in durations for b in batches])
+        self.engine = engine
+        self.batcher = ContinuousBatcher(engine, s.max_batch, s.batch_wait_ms).start()
+        self.voices = voices
         log.info("models loaded (demo_tiny=%s)", s.demo_tiny)
 
-    def _load_voices(self):
+    def _read_voices(self) -> dict[str, tuple[np.ndarray, int, str]]:
         import os
 
-        self.voices.clear()
+        voices: dict[str, tuple[np.ndarray, int, str]] = {}
         if self.settings.voices_dir and os.path.isdir(self.settings.voices_dir):
             for name in os.listdir(self.settings.voices_dir):
                 if name.endswith(".wav"):
@@ -178,12 +181,13 @@ class ModelService:
                     wav, sr = read_wav(os.path.join(self.settings.voices_dir, name))
                     txt_path = os.path.join(self.settings.voices_dir, stem + ".txt")
                     ref_text = open(txt_path, encoding="utf-8").read().strip() if os.path.exists(txt_path) else ""
-                    self.voices[stem] = (clip_ref_audio(wav, sr), sr, ref_text)
-        if not self.voices:
+                    voices[stem] = (clip_ref_audio(wav, sr), sr, ref_text)
+        if not voices:
             # built-in fallback voice so the API is usable without assets
             sr = 24000
             tone = (np.sin(2 * np.pi * 220 * np.arange(sr) / sr) * 0.1).astype(np.float32)
-            self.voices["default"] = (tone, sr, "reference audio.")
+            voices["default"] = (tone, sr, "reference audio.")
+        return voices
 
     def unload(self):
         with self._lifecycle:
@@ -191,26 +195,39 @@ class ModelService:
                 self.batcher.stop()
             self.engine = None
             self.batcher = None
-            self.voices.clear()
+            # replace, don't clear(): in-flight requests hold a snapshot of
+            # the old dict and must keep reading it consistently
+            self.voices = {}
+
+    def swap(self, mutate_settings):
+        """Atomically replace the served model: unload, apply the settings
+        mutation, load — all under one lifecycle-lock hold, so the
+        failure-recovery reload thread cannot interleave its own unload/load
+        between the steps (each op alone is serialized; the compound wasn't)."""
+        with self._lifecycle:
+            self.unload()
+            mutate_settings()
+            self._load_locked()
 
     def synthesize_sync(self, req: SpeechRequest) -> bytes:
-        # snapshot the engine/batcher refs: a concurrent unload/hot-swap nulls
-        # the attributes, but in-flight work may finish against the old
-        # objects (they stay alive through these locals)
-        engine, batcher = self.engine, self.batcher
-        if engine is None or batcher is None:
+        # snapshot the engine/batcher/voices refs: a concurrent unload/hot-swap
+        # replaces the attributes, but in-flight work may finish against the
+        # old objects (they stay alive through these locals; unload swaps the
+        # voices dict rather than clearing it in place for the same reason)
+        engine, batcher, voices = self.engine, self.batcher, self.voices
+        if engine is None or batcher is None or not voices:
             raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
-        voice = req.voice or next(iter(self.voices))
-        if voice not in self.voices:
+        voice = req.voice or next(iter(voices))
+        if voice not in voices:
             raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
         # multi-style: `{Style}` / `[voice]` tags in the text switch the
         # reference voice per segment (gradio multi-style contract,
         # infer/infer_gradio.py:317-499); tagless text is one segment
-        segments = split_style_segments(req.effective_text, self.voices, default=voice)
+        segments = split_style_segments(req.effective_text, voices, default=voice)
         try:
             plans = []
             for seg_voice, seg_text in segments:
-                ref_audio, ref_sr, ref_text = self.voices[seg_voice]
+                ref_audio, ref_sr, ref_text = voices[seg_voice]
                 if seg_voice == voice and req.ref_text:
                     ref_text = req.ref_text
                 ref_text = ensure_sentence_punctuation(ref_text)
@@ -253,8 +270,11 @@ class ModelService:
             def _do():
                 try:
                     log.warning("reloading models after %d consecutive failures", self.failures)
-                    self.unload()
-                    self.load()
+                    # hold the lifecycle lock across the PAIR: another thread's
+                    # unload/swap must not interleave between our two steps
+                    with self._lifecycle:
+                        self.unload()
+                        self.load()
                     self.reloads += 1
                     with self._fail_lock:
                         self.failures = 0
@@ -277,7 +297,8 @@ async def timing_middleware(request: web.Request, handler):
     finally:
         dur = time.monotonic() - start
         log.info("%s %s took %.3fs", request.method, request.path, dur)
-    resp.headers["X-Response-Time"] = f"{dur:.3f}s"
+    if not resp.prepared:  # streamed responses flushed their headers already
+        resp.headers["X-Response-Time"] = f"{dur:.3f}s"
     return resp
 
 
@@ -299,7 +320,8 @@ async def cors_middleware(request: web.Request, handler):
             # instead of the JSON error body (400/429/503 all raise)
             _cors(e.headers)
             raise
-    _cors(resp.headers)
+    if not resp.prepared:  # streams set their CORS headers before prepare()
+        _cors(resp.headers)
     return resp
 
 
@@ -343,13 +365,19 @@ def build_app(settings: Settings) -> web.Application:
 
         from f5tts_tpu.audio import native
 
-        voice = req.voice or next(iter(service.voices))
-        if voice not in service.voices:
+        engine, voices = service.engine, service.voices  # snapshot across unload
+        if engine is None or not voices:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+        voice = req.voice or next(iter(voices))
+        if voice not in voices:
             raise web.HTTPBadRequest(text=json.dumps({"error": f"unknown voice {voice!r}"}))
-        ref_audio, ref_sr, ref_text = service.voices[voice]
+        ref_audio, ref_sr, ref_text = voices[voice]
         ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
 
         resp = web.StreamResponse(headers={"Content-Type": "audio/wav", "Cache-Control": "no-cache"})
+        # headers flush at prepare(): middlewares can't add these afterwards
+        _cors(resp.headers)
+        resp.headers["X-Accel-Buffering"] = "no"
         resp.enable_chunked_encoding()
         await resp.prepare(request)
         # WAV header with streaming (unknown) sizes
@@ -376,7 +404,7 @@ def build_app(settings: Settings) -> web.Application:
 
         def produce():
             try:
-                for seg in service.engine.synthesize_streaming(
+                for seg in engine.synthesize_streaming(
                     req.effective_text, ref_audio, ref_sr, ref_text,
                     speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
                 ):
@@ -398,7 +426,34 @@ def build_app(settings: Settings) -> web.Application:
             await resp.write_eof()
         finally:
             abandoned.set()
+            # if this coroutine was cancelled while awaiting q.get, that
+            # executor thread is still parked in the blocking get — and the
+            # producer's final sentinel is suppressed once `abandoned` is set.
+            # Drain and push one sentinel (non-blocking; abandoned stops any
+            # racing producer put) so no pool thread is pinned forever.
+            try:
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
+            try:
+                q.put_nowait(None)
+            except _queue.Full:
+                pass
         return resp
+
+    async def _read_multipart_audio(request: web.Request) -> bytes:
+        """First multipart part as bytes; malformed/non-multipart bodies are
+        client errors (400), not AttributeErrors-turned-500s."""
+        try:
+            reader = await request.multipart()
+            field = await reader.next()
+        except (AssertionError, ValueError):
+            field = None
+        if field is None:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "multipart body with an audio file part required"}))
+        return await field.read(decode=True)
 
     async def transcribe(request: web.Request) -> web.Response:
         check_auth(request)
@@ -406,9 +461,7 @@ def build_app(settings: Settings) -> web.Application:
             from f5tts_tpu.serve.asr import transcribe_bytes
         except Exception:
             raise web.HTTPNotImplemented(text=json.dumps({"error": "ASR backend unavailable in this build"}))
-        reader = await request.multipart()
-        field = await reader.next()
-        audio = await field.read(decode=True)
+        audio = await _read_multipart_audio(request)
         language = request.query.get("language")
         try:
             text = await asyncio.get_running_loop().run_in_executor(None, transcribe_bytes, audio, language)
@@ -424,9 +477,7 @@ def build_app(settings: Settings) -> web.Application:
             from f5tts_tpu.serve.asr import transcribe_bytes
         except Exception:
             raise web.HTTPNotImplemented(text=json.dumps({"error": "ASR backend unavailable in this build"}))
-        reader = await request.multipart()
-        field = await reader.next()
-        audio = await field.read(decode=True)
+        audio = await _read_multipart_audio(request)
         language = request.query.get("language")
         loop = asyncio.get_running_loop()
         try:
@@ -652,25 +703,36 @@ def build_app(settings: Settings) -> web.Application:
                 text=json.dumps({"error": f"missing or nonexistent paths: {missing}"}))
         s = service.settings
         prev = (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny)
-        loop = asyncio.get_running_loop()
-        async with model_lock:
-            service.unload()
+
+        def _set_new():
             s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt = (
                 paths["tts_ckpt"], paths["tts_vocab"], paths["vocoder_ckpt"])
             s.demo_tiny = False
+
+        def _set_prev():
+            s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny = prev
+
+        def _swap_with_rollback():
+            # one sync compound in one executor call: service.swap holds the
+            # lifecycle lock across unload+mutate+load so the failure-recovery
+            # reload thread can't interleave its own unload/load mid-swap
             try:
-                await loop.run_in_executor(None, service.load)
+                service.swap(_set_new)
+                return None, ""
             except Exception as e:  # bad checkpoint: restore the previous model
                 log.exception("checkpoint load failed; rolling back")
-                s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny = prev
-                restore = ""
                 try:
-                    await loop.run_in_executor(None, service.load)
-                    restore = "previous model restored"
+                    service.swap(_set_prev)
+                    return e, "previous model restored"
                 except Exception as e2:
-                    restore = f"previous model restore also failed: {e2}"
-                raise web.HTTPBadRequest(
-                    text=json.dumps({"error": f"load failed: {e}", "rollback": restore}))
+                    return e, f"previous model restore also failed: {e2}"
+
+        loop = asyncio.get_running_loop()
+        async with model_lock:
+            err, restore = await loop.run_in_executor(None, _swap_with_rollback)
+        if err is not None:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": f"load failed: {err}", "rollback": restore}))
         try:
             os.makedirs(os.path.dirname(_last_model_path()), exist_ok=True)
             with open(_last_model_path(), "w", encoding="utf-8") as f:

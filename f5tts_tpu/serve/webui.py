@@ -81,26 +81,54 @@ document.getElementById('loadmodel').onclick = async () => {
 loadModelInfo();
 </script>
 <script>
-let mediaRec = null, chunks = [];
+// Capture raw PCM via WebAudio and encode WAV client-side: MediaRecorder can
+// only produce webm/ogg opus, which the server's WAV reader (audio/io.py)
+// does not decode — no browser emits WAV from MediaRecorder.
+let recState = null;
+function encodeWav(samples, rate) {
+  const buf = new ArrayBuffer(44 + samples.length * 2), v = new DataView(buf);
+  const s = (o, t) => { for (let i = 0; i < t.length; i++) v.setUint8(o + i, t.charCodeAt(i)); };
+  s(0, 'RIFF'); v.setUint32(4, 36 + samples.length * 2, true); s(8, 'WAVEfmt ');
+  v.setUint32(16, 16, true); v.setUint16(20, 1, true); v.setUint16(22, 1, true);
+  v.setUint32(24, rate, true); v.setUint32(28, rate * 2, true);
+  v.setUint16(32, 2, true); v.setUint16(34, 16, true);
+  s(36, 'data'); v.setUint32(40, samples.length * 2, true);
+  for (let i = 0; i < samples.length; i++) {
+    const x = Math.max(-1, Math.min(1, samples[i]));
+    v.setInt16(44 + i * 2, x < 0 ? x * 32768 : x * 32767, true);
+  }
+  return new Blob([buf], {type: 'audio/wav'});
+}
 document.getElementById('rec').onclick = async () => {
   const btn = document.getElementById('rec'), st = document.getElementById('vstatus');
-  if (mediaRec && mediaRec.state === 'recording') { mediaRec.stop(); btn.textContent = '● Record'; return; }
+  if (recState) {
+    const {ctx, proc, src, stream, chunks} = recState; recState = null;
+    proc.disconnect(); src.disconnect(); stream.getTracks().forEach(t => t.stop());
+    btn.textContent = '● Record'; st.textContent = 'thinking...';
+    const n = chunks.reduce((a, c) => a + c.length, 0);
+    const samples = new Float32Array(n);
+    let off = 0; for (const c of chunks) { samples.set(c, off); off += c.length; }
+    const rate = ctx.sampleRate; await ctx.close();
+    const fd = new FormData();
+    fd.append('file', encodeWav(samples, rate), 'input.wav');
+    const r = await fetch('/v1/speech_to_speech', {method: 'POST', headers: authH(), body: fd});
+    if (!r.ok) { st.textContent = 'error: ' + (await r.text()); return; }
+    const blob = await r.blob();
+    document.getElementById('vplayer').src = URL.createObjectURL(blob);
+    document.getElementById('vplayer').play();
+    st.textContent = '';
+    return;
+  }
   try {
     const stream = await navigator.mediaDevices.getUserMedia({audio: true});
-    mediaRec = new MediaRecorder(stream); chunks = [];
-    mediaRec.ondataavailable = e => chunks.push(e.data);
-    mediaRec.onstop = async () => {
-      st.textContent = 'thinking...';
-      const fd = new FormData();
-      fd.append('file', new Blob(chunks), 'input.webm');
-      const r = await fetch('/v1/speech_to_speech', {method: 'POST', headers: authH(), body: fd});
-      if (!r.ok) { st.textContent = 'error: ' + (await r.text()); return; }
-      const blob = await r.blob();
-      document.getElementById('vplayer').src = URL.createObjectURL(blob);
-      document.getElementById('vplayer').play();
-      st.textContent = '';
-    };
-    mediaRec.start(); btn.textContent = '■ Stop'; st.textContent = 'recording...';
+    const ctx = new AudioContext();
+    const src = ctx.createMediaStreamSource(stream);
+    const proc = ctx.createScriptProcessor(4096, 1, 1);
+    const chunks = [];
+    proc.onaudioprocess = e => chunks.push(new Float32Array(e.inputBuffer.getChannelData(0)));
+    src.connect(proc); proc.connect(ctx.destination);
+    recState = {ctx, proc, src, stream, chunks};
+    btn.textContent = '■ Stop'; st.textContent = 'recording...';
   } catch (e) { st.textContent = 'mic error: ' + e; }
 };
 </script>

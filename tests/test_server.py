@@ -255,3 +255,46 @@ def test_server_sampler_acceleration_knobs():
     finally:
         loop.run_until_complete(c.close())
         loop.close()
+
+
+def test_streaming_response_carries_cors(client):
+    """Streamed responses flush headers at prepare(); the CORS middleware
+    can't add headers afterwards, so the stream handler must set them before
+    preparing (a cross-origin browser fetch is blocked without them)."""
+    resp, body = _req(
+        client, "POST", "/v1/audio/speech",
+        json={"text": "cors stream.", "nfe_step": 2, "response_format": "stream"},
+    )
+    assert resp.status == 200
+    assert resp.headers.get("Access-Control-Allow-Origin") == "*"
+    assert body[:4] == b"RIFF"
+
+
+def test_transcribe_malformed_body_is_400(client):
+    """Non-multipart or empty-multipart ASR uploads are client errors, not
+    AttributeError-turned-500s."""
+    resp, _ = _req(client, "POST", "/v1/transcribe/", data=b"not multipart")
+    assert resp.status == 400
+    resp, _ = _req(client, "POST", "/v1/speech_to_speech", data=b"not multipart")
+    assert resp.status == 400
+
+
+def test_failed_load_leaves_service_unloaded(tmp_path):
+    """A failure AFTER the engine is constructed (corrupt voice wav) must not
+    leave the service half-loaded (loaded==True made load_model's rollback a
+    silent no-op and served an un-warmed model under stale settings)."""
+    from f5tts_tpu.serve.server import ModelService
+    from f5tts_tpu.utils.config import Settings
+
+    (tmp_path / "bad.wav").write_bytes(b"RIFFnope")
+    settings = Settings(demo_tiny=True, warmup=False, voices_dir=str(tmp_path))
+    service = ModelService(settings)
+    with pytest.raises(Exception):
+        service.load()
+    assert not service.loaded
+    assert service.batcher is None
+    # a later load with good settings recovers cleanly
+    settings.voices_dir = ""
+    service.load()
+    assert service.loaded and "default" in service.voices
+    service.unload()
