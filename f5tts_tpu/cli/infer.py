@@ -116,22 +116,28 @@ def build_engine(args):
         from f5tts_tpu.models.convert import load_torch_state_dict, load_vocos_checkpoint
 
         voc_params = load_vocos_checkpoint(args.vocoder_ckpt, voc_cfg)
+        import os as _os
+
         if args.model.startswith("E2TTS"):
-            from f5tts_tpu.models.convert import convert_e2_unett
+            from f5tts_tpu.models.convert import convert_e2_unett, load_trained_checkpoint
             from f5tts_tpu.models.unett import UNetTConfig, unett_embed, unett_forward
 
             ubase = UNetTConfig.small() if args.model == "E2TTS_Small" else UNetTConfig.base()
             dit_cfg = UNetTConfig(
                 **{**ubase.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn}
             )
-            dit_params = convert_e2_unett(load_torch_state_dict(args.ckpt_file), dit_cfg)
+            if _os.path.isdir(args.ckpt_file):  # this framework's orbax train dir
+                dit_params = load_trained_checkpoint(args.ckpt_file, dit_cfg)
+            else:
+                dit_params = convert_e2_unett(load_torch_state_dict(args.ckpt_file), dit_cfg)
             engine_fns = {"forward_fn": unett_forward, "embed_fn": unett_embed}
         else:
-            from f5tts_tpu.models.convert import convert_f5_dit
+            from f5tts_tpu.models.convert import load_f5_checkpoint
 
             base = DiTConfig.small() if args.model == "F5TTS_Small" else DiTConfig.base()
             dit_cfg = DiTConfig(**{**base.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn})
-            dit_params = convert_f5_dit(load_torch_state_dict(args.ckpt_file), dit_cfg)
+            # torch .pt/.safetensors file, or an orbax train dir from f5tpu-train
+            dit_params = load_f5_checkpoint(args.ckpt_file, dit_cfg)
 
     engine_cfg = EngineConfig(
         mel=mel_cfg, vocoder=voc_cfg,

@@ -273,7 +273,38 @@ def save_f5_safetensors(path: str, params, cfg: DiTConfig) -> None:
     save_file(sd, path)
 
 
+def load_trained_checkpoint(directory: str, model_cfg, use_ema: bool = True,
+                            step: int | None = None) -> dict:
+    """Backbone params from a checkpoint directory written by THIS framework's
+    Trainer (orbax full-state: params/opt_state/ema/step) — so a model trained
+    here can be served here without a torch round trip. EMA weights by default,
+    matching how the reference serves its checkpoints (``utils_infer.py:187-213``
+    strips the ``ema_model.`` prefix off torch checkpoints for the same reason).
+
+    ``model_cfg`` is the backbone config (DiTConfig/UNetTConfig) or a CFMConfig
+    wrapping one; it must match the trained geometry."""
+    import jax
+
+    from f5tts_tpu.models.cfm import CFMConfig
+    from f5tts_tpu.train.checkpoint import latest_step, restore_state
+    from f5tts_tpu.train.trainer import TrainConfig, init_train_state
+
+    step = latest_step(directory) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {directory!r}")
+    cfm_cfg = model_cfg if isinstance(model_cfg, CFMConfig) else CFMConfig(model=model_cfg)
+    template = init_train_state(jax.random.PRNGKey(0), cfm_cfg, TrainConfig())
+    state = restore_state(directory, step, template)
+    return state["ema"] if use_ema else state["params"]
+
+
 def load_f5_checkpoint(path: str, cfg: DiTConfig) -> dict:
+    """torch ``.pt``/``.safetensors`` file, or a directory written by this
+    framework's Trainer (orbax) — both land on the same pytree layout."""
+    import os
+
+    if os.path.isdir(path):
+        return load_trained_checkpoint(path, cfg)
     return convert_f5_dit(load_torch_state_dict(path), cfg)
 
 

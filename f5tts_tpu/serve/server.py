@@ -541,11 +541,36 @@ def build_app(settings: Settings) -> web.Application:
         return web.Response(body=wav_bytes(wave, out_sr), content_type="audio/wav")
 
     async def metrics(request: web.Request) -> web.Response:
+        """Serving metrics: JSON by default, Prometheus text exposition with
+        ``?format=prometheus`` (or at ``/metrics``) for scrape-based monitoring
+        — the reference has no metrics surface at all (SURVEY §5)."""
         from f5tts_tpu.utils.profiling import GLOBAL_TIMER
 
-        return web.json_response(
-            {"stages": GLOBAL_TIMER.summary(), "batcher": (service.batcher.stats if service.batcher else {})}
-        )
+        stages = GLOBAL_TIMER.summary()
+        batcher = service.batcher.stats if service.batcher else {}
+        if request.query.get("format") == "prometheus" or request.path == "/metrics":
+            lines = [
+                "# HELP f5tpu_stage_ms per-request stage timings (rolling window)",
+                "# TYPE f5tpu_stage_ms summary",
+            ]
+            for name, s in sorted(stages.items()):
+                for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms"), ("1.0", "max_ms")):
+                    lines.append(f'f5tpu_stage_ms{{stage="{name}",quantile="{q}"}} {s[key]}')
+                lines.append(f'f5tpu_stage_ms_count{{stage="{name}"}} {s["count"]}')
+            lines += [
+                "# HELP f5tpu_batcher continuous-batcher counters",
+                "# TYPE f5tpu_batcher_batches_total counter",
+            ]
+            for k, v in sorted(batcher.items()):
+                lines.append(f"f5tpu_batcher_{k} {v}")
+            lines += [
+                f"f5tpu_model_loaded {int(service.loaded)}",
+                f"f5tpu_consecutive_failures {service.failures}",
+                f"f5tpu_reloads_total {service.reloads}",
+            ]
+            return web.Response(text="\n".join(lines) + "\n",
+                                content_type="text/plain", charset="utf-8")
+        return web.json_response({"stages": stages, "batcher": batcher})
 
     async def profiler_start(request: web.Request) -> web.Response:
         check_auth(request)
@@ -748,6 +773,7 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_post("/v1/speech_edit", speech_edit)
     app.router.add_get("/v1/health", health)
     app.router.add_get("/v1/metrics", metrics)
+    app.router.add_get("/metrics", metrics)  # Prometheus scrape convention
     app.router.add_post("/v1/profiler/start", profiler_start)
     app.router.add_post("/v1/profiler/stop", profiler_stop)
     app.router.add_get("/", index)

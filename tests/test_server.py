@@ -298,3 +298,18 @@ def test_failed_load_leaves_service_unloaded(tmp_path):
     service.load()
     assert service.loaded and "default" in service.voices
     service.unload()
+
+
+def test_prometheus_metrics_exposition(client):
+    """/metrics (and ?format=prometheus) emit Prometheus text exposition —
+    model gauge, failure counters, batcher counters, stage quantiles."""
+    resp, body = _req(client, "GET", "/metrics")
+    assert resp.status == 200
+    text = body.decode()
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    assert "f5tpu_model_loaded 1" in text
+    assert "f5tpu_reloads_total" in text
+    resp, body = _req(client, "GET", "/v1/metrics?format=prometheus")
+    assert body.decode() == text or "f5tpu_model_loaded" in body.decode()
+    resp, body = _req(client, "GET", "/v1/metrics")
+    assert "stages" in json.loads(body)  # JSON view unchanged

@@ -266,3 +266,43 @@ def test_fit_grad_accum_on_mesh_shards_rows():
 
     state2 = trainer.fit(state, iter([micro() for _ in range(4)]))
     assert int(state2["step"]) == 2  # 4 micro-batches -> 2 accumulated updates
+
+
+def test_trained_checkpoint_loads_for_serving(tmp_path):
+    """A checkpoint directory written by THIS trainer must load back through
+    the serving-side loader (models.convert.load_trained_checkpoint /
+    load_f5_checkpoint's directory branch) — EMA weights by default, exactly
+    like the reference serves its ema_model.* torch checkpoints."""
+    from f5tts_tpu.models.convert import load_f5_checkpoint, load_trained_checkpoint
+    from f5tts_tpu.models.dit import dit_forward
+    from f5tts_tpu.train.checkpoint import save_state
+
+    cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100)
+    state = init_train_state(jax.random.PRNGKey(0), TINY, cfg)
+    # make EMA visibly different from params so the test can tell them apart
+    state["ema"] = jax.tree.map(lambda x: x + 1.0, state["ema"])
+    save_state(str(tmp_path), 7, state)
+
+    ema = load_trained_checkpoint(str(tmp_path), TINY.model)
+    raw = load_trained_checkpoint(str(tmp_path), TINY.model, use_ema=False)
+    for got, want in ((ema, state["ema"]), (raw, state["params"])):
+        flat_g, flat_w = jax.tree.leaves(got), jax.tree.leaves(want)
+        assert all(np.allclose(g, w) for g, w in zip(flat_g, flat_w))
+
+    # same entry point the CLI/server use for DiT checkpoints
+    via_f5 = load_f5_checkpoint(str(tmp_path), TINY.model)
+    assert np.allclose(jax.tree.leaves(via_f5)[0], jax.tree.leaves(ema)[0])
+
+    # restored params drive a forward pass
+    rng = np.random.default_rng(0)
+    b, n, nt = 1, 16, 6
+    out = dit_forward(
+        ema, TINY.model,
+        jnp.asarray(rng.standard_normal((b, n, TINY.model.mel_dim)), jnp.float32),
+        jnp.asarray(rng.standard_normal((b, n, TINY.model.mel_dim)), jnp.float32),
+        jnp.asarray(rng.integers(0, 18, (b, nt)), jnp.int32),
+        jnp.asarray([0.3], jnp.float32),
+        jnp.asarray([False]), jnp.asarray([False]), jnp.ones((b, n), bool),
+        compute_dtype=jnp.float32,
+    )
+    assert np.isfinite(np.asarray(out)).all()
