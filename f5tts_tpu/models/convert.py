@@ -273,6 +273,37 @@ def save_f5_safetensors(path: str, params, cfg: DiTConfig) -> None:
     save_file(sd, path)
 
 
+def save_params_npz(path: str, params: dict) -> None:
+    """Native inference-checkpoint format: the params pytree (pure nested
+    dicts of arrays) flattened to '/'-joined keys in one ``.npz``. Converting
+    a torch checkpoint once and serving the ``.npz`` skips the per-start
+    key-mapping/transpose work (``f5tpu-convert``)."""
+    flat: dict[str, np.ndarray] = {}
+
+    def rec(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    rec("", params)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of ``save_params_npz``."""
+    out: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
+
+
 def load_trained_checkpoint(directory: str, model_cfg, use_ema: bool = True,
                             step: int | None = None) -> dict:
     """Backbone params from a checkpoint directory written by THIS framework's
@@ -299,14 +330,19 @@ def load_trained_checkpoint(directory: str, model_cfg, use_ema: bool = True,
 
 
 def load_f5_checkpoint(path: str, cfg: DiTConfig) -> dict:
-    """torch ``.pt``/``.safetensors`` file, or a directory written by this
-    framework's Trainer (orbax) — both land on the same pytree layout."""
+    """torch ``.pt``/``.safetensors`` file, a pre-converted native ``.npz``
+    (``f5tpu-convert``), or a directory written by this framework's Trainer
+    (orbax) — all land on the same pytree layout."""
     import os
 
     if os.path.isdir(path):
         return load_trained_checkpoint(path, cfg)
+    if path.endswith(".npz"):
+        return load_params_npz(path)
     return convert_f5_dit(load_torch_state_dict(path), cfg)
 
 
 def load_vocos_checkpoint(path: str, cfg: VocosConfig = VocosConfig()) -> dict:
+    if path.endswith(".npz"):
+        return load_params_npz(path)
     return convert_vocos(load_torch_state_dict(path), cfg)

@@ -331,7 +331,10 @@ def build_app(settings: Settings) -> web.Application:
     chat_limiter = RateLimiter(settings.chat_rate_limit)
 
     def check_auth(request):
-        if settings.api_key and request.headers.get("Authorization") != f"Bearer {settings.api_key}":
+        import hmac
+
+        if settings.api_key and not hmac.compare_digest(
+                request.headers.get("Authorization", ""), f"Bearer {settings.api_key}"):
             raise web.HTTPUnauthorized(text=json.dumps({"error": "invalid api key"}))
 
     async def speech(request: web.Request) -> web.StreamResponse:

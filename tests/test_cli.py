@@ -78,3 +78,32 @@ def test_infer_cli_hyphen_voice_tag(tmp_path, capsys):
     assert sr == 24000 and len(wav) > 0
     # the tag resolved — no "not a known voice" note was printed
     assert "not a known voice" not in capsys.readouterr().err
+
+
+def test_trained_checkpoint_to_npz_flow(tmp_path):
+    """The f5tpu-convert orbax path (load_trained_checkpoint -> save_params_npz):
+    EMA weights from a training run land bit-exact in the native .npz serving
+    format. (The CLI wrapper itself pins Base/Small geometry, so the flow is
+    driven at the function level with a tiny model.)"""
+    import jax
+
+    from f5tts_tpu.models.cfm import CFMConfig
+    from f5tts_tpu.models.convert import (
+        load_params_npz, load_trained_checkpoint, save_params_npz)
+    from f5tts_tpu.models.dit import DiTConfig
+    from f5tts_tpu.train.checkpoint import save_state
+    from f5tts_tpu.train.trainer import TrainConfig, init_train_state
+
+    cfm = CFMConfig(model=DiTConfig(
+        dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+        text_num_embeds=12, text_dim=16, conv_layers=1, max_pos=64))
+    state = init_train_state(jax.random.PRNGKey(0), cfm, TrainConfig())
+    ckpt_dir = tmp_path / "run"
+    save_state(str(ckpt_dir), 5, state)
+
+    out = str(tmp_path / "model.npz")
+    params = load_trained_checkpoint(str(ckpt_dir), cfm.model)
+    save_params_npz(out, params)
+    back = load_params_npz(out)
+    for a, b in zip(jax.tree.leaves(state["ema"]), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

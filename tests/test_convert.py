@@ -147,3 +147,28 @@ def test_convert_e2_unett_key_mapping():
     out = unett_forward(params, cfg, x, x, text, jnp.asarray([0.4], jnp.float32),
                         jnp.zeros((1,), bool), jnp.zeros((1,), bool))
     assert out.shape == (1, 12, 6) and bool(jnp.isfinite(out).all())
+
+
+def test_params_npz_round_trip(tmp_path):
+    """Native .npz inference format: flatten/unflatten is exact, and the
+    .npz branch of load_f5_checkpoint returns the identical pytree."""
+    import jax
+
+    from f5tts_tpu.models.convert import load_f5_checkpoint, load_params_npz, save_params_npz
+    from f5tts_tpu.models.dit import DiTConfig, init_dit
+
+    cfg = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                    text_num_embeds=16, text_dim=16, conv_layers=1, max_pos=64)
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "model.npz")
+    save_params_npz(path, params)
+
+    back = load_params_npz(path)
+    assert jax.tree.structure(jax.tree.map(lambda x: 0, back)) == \
+        jax.tree.structure(jax.tree.map(lambda x: 0, params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    via_loader = load_f5_checkpoint(path, cfg)
+    np.testing.assert_array_equal(
+        jax.tree.leaves(via_loader)[0], jax.tree.leaves(params)[0])
