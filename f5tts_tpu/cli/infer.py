@@ -26,7 +26,9 @@ def add_engine_args(p: argparse.ArgumentParser, short: bool = False) -> None:
     p.add_argument(*m, "--model", default="F5TTS_Base", help="F5TTS_Base | F5TTS_Small | E2TTS_Base | E2TTS_Small")
     p.add_argument(*c, "--ckpt-file", default="", help="torch .pt/.safetensors DiT checkpoint")
     p.add_argument(*v, "--vocab-file", default="", help="vocab.txt (one char per line)")
-    p.add_argument("--vocoder-ckpt", default="", help="vocos torch checkpoint (pytorch_model.bin)")
+    p.add_argument("--vocoder", default="vocos", choices=["vocos", "bigvgan"],
+                   help="vocoder family (reference --vocoder_name; bigvgan implies the bigvgan mel flavor)")
+    p.add_argument("--vocoder-ckpt", default="", help="vocoder torch checkpoint (vocos pytorch_model.bin / bigvgan generator)")
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--cfg-strength", type=float, default=2.0)
     p.add_argument("--sway", type=float, default=-1.0)
@@ -97,8 +99,11 @@ def build_engine(args):
     from f5tts_tpu.text.tokenizer import Tokenizer
 
     engine_fns = {}
+    vocoder_kw = {}
+    use_bigvgan = getattr(args, "vocoder", "vocos") == "bigvgan"
+    mel_flavor = "bigvgan" if use_bigvgan else "vocos"  # paired mel front-end (utils_infer.py:92-130)
     if args.demo_tiny:
-        mel_cfg = MelConfig(n_mels=20)
+        mel_cfg = MelConfig(n_mels=20, flavor=mel_flavor)
         dit_cfg = DiTConfig(
             dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
             text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024, attn_impl=args.attn,
@@ -106,16 +111,32 @@ def build_engine(args):
         voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
         tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
         dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
-        voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+        if use_bigvgan:
+            from f5tts_tpu.models.bigvgan import BigVGANConfig, init_bigvgan
+
+            bcfg = BigVGANConfig(mel_dim=20, upsample_initial_channel=32,
+                                 upsample_rates=(4, 4, 4, 4), upsample_kernel_sizes=(8, 8, 8, 8),
+                                 resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),))
+            voc_params = init_bigvgan(jax.random.PRNGKey(1), bcfg)
+            vocoder_kw = {"vocoder_type": "bigvgan", "bigvgan": bcfg}
+        else:
+            voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
     else:
         if not args.ckpt_file or not args.vocab_file or not args.vocoder_ckpt:
             sys.exit("need --ckpt-file, --vocab-file and --vocoder-ckpt (or --demo-tiny)")
-        mel_cfg = MelConfig()
+        mel_cfg = MelConfig(flavor=mel_flavor)
         tok = Tokenizer.from_file(args.vocab_file)
         voc_cfg = VocosConfig()
         from f5tts_tpu.models.convert import load_torch_state_dict, load_vocos_checkpoint
 
-        voc_params = load_vocos_checkpoint(args.vocoder_ckpt, voc_cfg)
+        if use_bigvgan:
+            from f5tts_tpu.models.bigvgan import BigVGANConfig, convert_bigvgan
+
+            bcfg = BigVGANConfig(mel_dim=mel_cfg.n_mels)
+            voc_params = convert_bigvgan(load_torch_state_dict(args.vocoder_ckpt), bcfg)
+            vocoder_kw = {"vocoder_type": "bigvgan", "bigvgan": bcfg}
+        else:
+            voc_params = load_vocos_checkpoint(args.vocoder_ckpt, voc_cfg)
         import os as _os
 
         if args.model.startswith("E2TTS"):
@@ -150,6 +171,7 @@ def build_engine(args):
         compute_dtype=args.dtype,
         cross_fade_duration=args.cross_fade,
         speed=args.speed,
+        **vocoder_kw,
     )
     return TTSEngine(dit_params, dit_cfg, voc_params, tok, engine_cfg, **engine_fns)
 

@@ -548,19 +548,28 @@ def parler_generate(
 
     def step_token(h_tok, cache, step_pos):
         """one token (b,1,hidden) through all layers with cache at step_pos
-        (absolute position p + step_pos in the cache)."""
+        (absolute position p + step_pos in the cache).
+
+        The full (layers, b, kv, total, d) cache rides the scan CARRY and is
+        updated in place with a layer-indexed dynamic_update_slice — an
+        earlier version threaded per-layer caches through the scan's xs/ys,
+        which re-stacked (re-wrote) the entire cache every decode step:
+        0.77 GB/step of avoidable HBM writes at the real geometry (batch 16,
+        494 positions), measured as the dominant decode cost."""
         abs_pos = p + step_pos
 
         def per_block(carry, inp):
-            h_tok = carry
-            blk, kc, vc, cak, cav = inp
+            h_tok, ck, cv = carry
+            blk, cak, cav, li = inp
             xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_sa"]["w"], blk["ln_sa"]["b"])
             scale = cfg.head_dim**-0.5
             q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, 1, cfg.heads)
             k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.n_kv)
             v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
-            kc = lax.dynamic_update_slice_in_dim(kc, k_new, abs_pos, axis=2)
-            vc = lax.dynamic_update_slice_in_dim(vc, v_new, abs_pos, axis=2)
+            ck = lax.dynamic_update_slice(ck, k_new[None], (li, 0, 0, abs_pos, 0))
+            cv = lax.dynamic_update_slice(cv, v_new[None], (li, 0, 0, abs_pos, 0))
+            kc = lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+            vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
             lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(kc, cfg.heads),
                             preferred_element_type=jnp.float32)
             allowed = (jnp.arange(total)[None, None, None, :] <= abs_pos) & key_valid[:, None, None, :]
@@ -580,10 +589,12 @@ def parler_generate(
             h_tok = h_tok + m.linear(blk["ca"]["o"], o)
             y = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ff"]["w"], blk["ln_ff"]["b"])
             h_tok = h_tok + m.linear(blk["fc2"], jax.nn.gelu(m.linear(blk["fc1"], y), approximate=False))
-            return h_tok, (kc, vc)
+            return (h_tok, ck, cv), None
 
-        h_tok, (nk, nv) = lax.scan(per_block, h_tok,
-                                   (params["blocks"], cache["k"], cache["v"], ca_k, ca_v))
+        n_layers = ca_k.shape[0]
+        (h_tok, nk, nv), _ = lax.scan(
+            per_block, (h_tok, cache["k"], cache["v"]),
+            (params["blocks"], ca_k, ca_v, jnp.arange(n_layers)))
         return h_tok, {"k": nk, "v": nv}
 
     codebook_idx = jnp.arange(K)

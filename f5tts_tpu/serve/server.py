@@ -103,8 +103,11 @@ class ModelService:
         # flash kernels on the TPU; XLA elsewhere (interpret-mode pallas is
         # only for tests). conv_pos_impl is flipped by the engine itself.
         attn = "flash" if jax.default_backend() == "tpu" else "xla"
+        use_bigvgan = s.vocoder_type == "bigvgan"
+        mel_flavor = "bigvgan" if use_bigvgan else "vocos"  # paired mel front-end
+        vocoder_kw = {}
         if s.demo_tiny:
-            mel_cfg = MelConfig(n_mels=20)
+            mel_cfg = MelConfig(n_mels=20, flavor=mel_flavor)
             dit_cfg = DiTConfig(
                 dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
                 text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024, attn_impl=attn,
@@ -112,10 +115,19 @@ class ModelService:
             voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
             tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
             dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
-            voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+            if use_bigvgan:
+                from f5tts_tpu.models.bigvgan import BigVGANConfig, init_bigvgan
+
+                bcfg = BigVGANConfig(mel_dim=20, upsample_initial_channel=32,
+                                     upsample_rates=(4, 4, 4, 4), upsample_kernel_sizes=(8, 8, 8, 8),
+                                     resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),))
+                voc_params = init_bigvgan(jax.random.PRNGKey(1), bcfg)
+                vocoder_kw = {"vocoder_type": "bigvgan", "bigvgan": bcfg}
+            else:
+                voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
             engine_cfg = EngineConfig(
                 mel=mel_cfg, vocoder=voc_cfg, compute_dtype="float32",
-                duration_buckets=(128, 256, 512), text_pad=128,
+                duration_buckets=(128, 256, 512), text_pad=128, **vocoder_kw,
             )
         else:
             from f5tts_tpu.models.convert import load_f5_checkpoint, load_vocos_checkpoint
@@ -126,9 +138,17 @@ class ModelService:
             )
             voc_cfg = VocosConfig()
             dit_params = load_f5_checkpoint(s.tts_ckpt, dit_cfg)
-            voc_params = load_vocos_checkpoint(s.vocoder_ckpt, voc_cfg)
-            engine_cfg = EngineConfig(compute_dtype=s.dtype)
-            mel_cfg = engine_cfg.mel
+            mel_cfg = MelConfig(flavor=mel_flavor)
+            if use_bigvgan:
+                from f5tts_tpu.models.bigvgan import BigVGANConfig, convert_bigvgan
+                from f5tts_tpu.models.convert import load_torch_state_dict
+
+                bcfg = BigVGANConfig(mel_dim=mel_cfg.n_mels)
+                voc_params = convert_bigvgan(load_torch_state_dict(s.vocoder_ckpt), bcfg)
+                vocoder_kw = {"vocoder_type": "bigvgan", "bigvgan": bcfg}
+            else:
+                voc_params = load_vocos_checkpoint(s.vocoder_ckpt, voc_cfg)
+            engine_cfg = EngineConfig(mel=mel_cfg, compute_dtype=s.dtype, **vocoder_kw)
 
         if s.cfg_interval or s.cfg_cache > 1:
             import dataclasses

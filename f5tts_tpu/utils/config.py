@@ -41,6 +41,7 @@ class Settings:
     tts_ckpt: str = ""
     tts_vocab: str = ""
     vocoder_ckpt: str = ""
+    vocoder_type: str = "vocos"  # "vocos" | "bigvgan" (reference --vocoder_name; env F5TPU_VOCODER_TYPE)
     voices_dir: str = ""
     demo_tiny: bool = False
     max_batch: int = 32
@@ -71,6 +72,8 @@ class Settings:
                 raise ValueError("cfg_interval and cfg_cache are mutually exclusive")
         if self.cfg_cache < 1:
             raise ValueError("cfg_cache must be >= 1")
+        if self.vocoder_type not in ("vocos", "bigvgan"):
+            raise ValueError(f"vocoder_type must be vocos|bigvgan, got {self.vocoder_type!r}")
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":

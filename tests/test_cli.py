@@ -107,3 +107,15 @@ def test_trained_checkpoint_to_npz_flow(tmp_path):
     back = load_params_npz(out)
     for a, b in zip(jax.tree.leaves(state["ema"]), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_infer_cli_bigvgan_vocoder(tmp_path):
+    """--vocoder bigvgan selects the BigVGAN head + bigvgan mel flavor
+    (reference --vocoder_name contract, utils_infer.py:92-130)."""
+    from f5tts_tpu.cli import infer
+
+    out = str(tmp_path / "bv.wav")
+    infer.main(["--demo-tiny", "--vocoder", "bigvgan", "--nfe", "2",
+                "-t", "bigvgan demo.", "-o", out])
+    wav, sr = read_wav(out)
+    assert sr == 24000 and len(wav) > 0

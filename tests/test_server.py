@@ -313,3 +313,27 @@ def test_prometheus_metrics_exposition(client):
     assert body.decode() == text or "f5tpu_model_loaded" in body.decode()
     resp, body = _req(client, "GET", "/v1/metrics")
     assert "stages" in json.loads(body)  # JSON view unchanged
+
+
+def test_server_bigvgan_vocoder():
+    """F5TPU_VOCODER_TYPE=bigvgan serves through the BigVGAN head."""
+    loop = asyncio.new_event_loop()
+    settings = Settings(demo_tiny=True, warmup=False, vocoder_type="bigvgan",
+                        speech_rate_limit="100/minute")
+    app = build_app(settings)
+    server = TestServer(app, loop=loop)
+    c = TestClient(server, loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        resp, body = _req((c, loop), "POST", "/v1/audio/speech",
+                          json={"text": "bigvgan server.", "nfe_step": 2, "seed": 1})
+        assert resp.status == 200
+        from f5tts_tpu.audio.io import read_wav
+
+        wav, sr = read_wav(bytes(body))
+        assert sr == 24000 and len(wav) > 1000 and np.isfinite(wav).all()
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
+    with pytest.raises(ValueError):
+        Settings(vocoder_type="nonsense")
