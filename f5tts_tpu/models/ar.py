@@ -161,8 +161,13 @@ def _step_token(params, cfg: ARConfig, h_tok, cache, pos, freqs_full, key_valid)
     """
 
     def per_block(carry, inp):
-        h_tok = carry
-        blk, kc, vc = inp
+        # the full (depth, b, h, total, d) cache rides the CARRY and is
+        # updated in place with a layer-indexed dynamic_update_slice —
+        # threading per-layer caches through xs/ys re-stacks (re-writes) the
+        # whole cache every decode step (measured 2.5x decode cost on the
+        # Parler branch, same structure — see models/parler.py step_token)
+        h_tok, ck, cv = carry
+        blk, li = inp
         x = m.rms_norm(blk["attn_norm"], h_tok)
         b = x.shape[0]
         q = m.linear(blk["attn"]["to_q"], x).reshape(b, 1, cfg.heads, -1).transpose(0, 2, 1, 3)
@@ -171,8 +176,10 @@ def _step_token(params, cfg: ARConfig, h_tok, cache, pos, freqs_full, key_valid)
         rope = lax.dynamic_slice_in_dim(freqs_full, pos, 1, axis=0)
         q = apply_rotary_per_head(q, rope)
         k_new = apply_rotary_per_head(k_new, rope)
-        kc = lax.dynamic_update_slice_in_dim(kc, k_new, pos, axis=2)
-        vc = lax.dynamic_update_slice_in_dim(vc, v_new, pos, axis=2)
+        ck = lax.dynamic_update_slice(ck, k_new[None], (li, 0, 0, pos, 0))
+        cv = lax.dynamic_update_slice(cv, v_new[None], (li, 0, 0, pos, 0))
+        kc = lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+        vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32) * (cfg.dim_head**-0.5)
         key_idx = jnp.arange(kc.shape[2])[None, None, None, :]
         allowed = (key_idx <= pos) & key_valid[:, None, None, :]
@@ -181,9 +188,12 @@ def _step_token(params, cfg: ARConfig, h_tok, cache, pos, freqs_full, key_valid)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, vc).transpose(0, 2, 1, 3).reshape(b, 1, -1)
         h_tok = h_tok + m.linear(blk["attn"]["to_out"], o)
         h_tok = h_tok + m.feed_forward(blk["ff"], m.rms_norm(blk["ff_norm"], h_tok))
-        return h_tok, (kc, vc)
+        return (h_tok, ck, cv), None
 
-    h_tok, (new_k, new_v) = lax.scan(per_block, h_tok, (params["blocks"], cache["k"], cache["v"]))
+    n_layers = cache["k"].shape[0]
+    (h_tok, new_k, new_v), _ = lax.scan(
+        per_block, (h_tok, cache["k"], cache["v"]),
+        (params["blocks"], jnp.arange(n_layers)))
     return h_tok, {"k": new_k, "v": new_v}
 
 
