@@ -86,6 +86,19 @@ class ParlerEngineConfig:
     top_k: int = 0
     eos_token: int = 1024
     compute_dtype: str = "bfloat16"
+    # batch sizes snapped up to these when serving rows (one compiled program
+    # per bucket instead of one per distinct request-batch size)
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
+
+
+@dataclass
+class ParlerRow:
+    """One serving request for the AR branch: a style description + the text
+    to speak (the ParlerTTS contract — no reference audio)."""
+
+    description: str
+    prompt: str
+    seed: int = 0
 
 
 class ParlerTTSEngine:
@@ -180,3 +193,24 @@ class ParlerTTSEngine:
         wave = np.asarray(wave, np.float32)
         lengths = np.asarray(lengths)
         return [wave[i, : int(lengths[i]) * self.dac_cfg.hop] for i in range(len(wave))]
+
+    def synthesize_rows(self, rows: list[ParlerRow]) -> list[tuple[np.ndarray, None]]:
+        """Row-level batched synthesis (the ``ContinuousBatcher`` primitive —
+        same contract as ``TTSEngine.synthesize_rows``): co-arriving requests
+        share one decode. The batch is snapped UP to ``cfg.batch_buckets`` by
+        repeating the last row (per-row masks isolate rows, so padded rows
+        cannot change greedy outputs; with temperature>0 the batch size is
+        part of the sampling stream, as with any batched sampler)."""
+        b = len(rows)
+        bucket = next((v for v in self.cfg.batch_buckets if v >= b), b)
+        padded = rows + [rows[-1]] * (bucket - b)
+        waves = self.synthesize_batch(
+            [r.description for r in padded], [r.prompt for r in padded],
+            seed=rows[0].seed)
+        return [(w, None) for w in waves[:b]]
+
+    def warmup(self, batches=(1,)) -> None:
+        """Pre-compile the (bucket, max_frames) programs a first burst would
+        otherwise pay for."""
+        for bv in batches:
+            self.synthesize_rows([ParlerRow("warmup description", "warm up.")] * bv)

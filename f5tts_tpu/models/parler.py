@@ -966,3 +966,31 @@ def descript_dac_to_hf_keys(sd: dict, cfg: DacConfig = DacConfig(), prefix: str 
         k = k[len(prefix):]
         out[ren.get(k, k)] = v
     return out
+
+
+def load_parler_checkpoint(path: str, t5_cfg: T5Config | None = None,
+                           dec_cfg: ParlerDecoderConfig | None = None,
+                           dac_cfg: DacConfig | None = None):
+    """One ParlerTTSForConditionalGeneration state dict (.pt/.safetensors) ->
+    (t5_params, dec_params, dac_params).
+
+    HF layout (what ``ai4bharat/indic-parler-tts`` ships): the T5 description
+    encoder under ``text_encoder.``, the codebook decoder under
+    ``decoder.model.decoder.`` with LM heads at ``decoder.lm_heads.``, prompt
+    embeddings at ``embed_prompts.weight``, optional ``enc_to_dec_proj``, and
+    the DAC under ``audio_encoder.model.`` in descript's positional layout
+    (translated by ``descript_dac_to_hf_keys``; HF-named DAC keys pass
+    through untouched)."""
+    from f5tts_tpu.models.convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    t5_cfg = t5_cfg or T5Config()
+    dec_cfg = dec_cfg or ParlerDecoderConfig()
+    dac_cfg = dac_cfg or DacConfig()
+    t5 = convert_t5_encoder(sd, t5_cfg, prefix="text_encoder.")
+    dec = convert_parler_decoder(
+        sd, dec_cfg, prefix="decoder.model.decoder.", lm_prefix="decoder.lm_heads.",
+        embed_prompts_key="embed_prompts.weight", enc_proj_prefix="enc_to_dec_proj")
+    dac_sd = descript_dac_to_hf_keys(sd, dac_cfg, prefix="audio_encoder.model.")
+    dac = convert_dac(dac_sd, dac_cfg)
+    return t5, dec, dac

@@ -18,6 +18,7 @@ class SpeechRequest(BaseModel):
     text: str = ""
     input: str = ""
     voice: str | None = None  # named voice from the voices dir
+    description: str | None = None  # style description (Parler AR branch)
     ref_text: str | None = None
     language: str | None = None
     speed: float = Field(default=1.0, ge=0.3, le=3.0)

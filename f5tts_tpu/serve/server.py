@@ -90,6 +90,9 @@ class ModelService:
     def _load_locked(self):
         if self.loaded:
             return
+        if self.settings.tts_model == "parler":
+            self._load_parler_locked()
+            return
         import jax
 
         from f5tts_tpu.engine.batcher import ContinuousBatcher
@@ -190,6 +193,53 @@ class ModelService:
         self.voices = voices
         log.info("models loaded (demo_tiny=%s)", s.demo_tiny)
 
+    def _load_parler_locked(self):
+        """AR-branch serving (the TTS component the reference's deployment
+        config names, ``dhwani_config.json:81`` ai4bharat/indic-parler-tts):
+        style-description + prompt in, 44.1 kHz DAC audio out, batched through
+        the same continuous batcher."""
+        import jax
+
+        from f5tts_tpu.engine.ar_engine import ParlerEngineConfig, ParlerTTSEngine
+        from f5tts_tpu.engine.batcher import ContinuousBatcher
+        from f5tts_tpu.models import parler as P
+
+        s = self.settings
+        if s.demo_tiny:
+            t5 = P.T5Config(vocab=60, d_model=24, d_kv=6, d_ff=32, heads=4, layers=2,
+                            rel_buckets=8, rel_max_dist=20)
+            dec = P.ParlerDecoderConfig(vocab=40, codebooks=4, hidden=32, layers=2,
+                                        heads=4, ffn=48, cross_dim=24, prompt_vocab=60)
+            dac = P.DacConfig(num_codebooks=4, codebook_size=40, codebook_dim=6,
+                              latent_dim=24, decoder_dim=16, rates=(4, 2))
+            kt, kd, kq = jax.random.split(jax.random.PRNGKey(0), 3)
+            t5_p, dec_p, dac_p = (P.init_t5_encoder(kt, t5), P.init_parler_decoder(kd, dec),
+                                  P.init_dac_decoder(kq, dac))
+            encode_fn = lambda txt: [ord(c) % t5.vocab for c in txt]  # noqa: E731
+            ecfg = ParlerEngineConfig(max_frames=32, desc_pad=16, prompt_pad=16,
+                                      temperature=0.0, eos_token=-1,
+                                      compute_dtype="float32", batch_buckets=(1, 2, 4))
+        else:
+            if not s.parler_ckpt or not s.parler_tokenizer:
+                raise ValueError("tts_model=parler needs F5TPU_PARLER_CKPT and "
+                                 "F5TPU_PARLER_TOKENIZER (local T5 tokenizer dir)")
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(s.parler_tokenizer)
+            encode_fn = lambda txt: tok(txt).input_ids  # noqa: E731
+            t5, dec, dac = P.T5Config(), P.ParlerDecoderConfig(), P.DacConfig()
+            t5_p, dec_p, dac_p = P.load_parler_checkpoint(s.parler_ckpt, t5, dec, dac)
+            ecfg = ParlerEngineConfig(max_frames=s.parler_max_frames, compute_dtype=s.dtype)
+        engine = ParlerTTSEngine(t5_p, t5, dec_p, dec, dac_p, dac, ecfg, encode_fn=encode_fn)
+        if s.warmup:
+            batches = [int(v) for v in str(s.warmup_batches).split(",") if v.strip()] or [1]
+            log.info("warming up parler (batch buckets %s)...", batches)
+            engine.warmup(batches)
+        self.engine = engine
+        self.batcher = ContinuousBatcher(engine, s.max_batch, s.batch_wait_ms).start()
+        self.voices = {}  # parler conditions on style descriptions, not reference voices
+        log.info("parler models loaded (demo_tiny=%s)", s.demo_tiny)
+
     def _read_voices(self) -> dict[str, tuple[np.ndarray, int, str]]:
         import os
 
@@ -230,6 +280,8 @@ class ModelService:
             self._load_locked()
 
     def synthesize_sync(self, req: SpeechRequest) -> bytes:
+        if self.settings.tts_model == "parler":
+            return self._synthesize_parler_sync(req)
         # snapshot the engine/batcher/voices refs: a concurrent unload/hot-swap
         # replaces the attributes, but in-flight work may finish against the
         # old objects (they stay alive through these locals; unload swaps the
@@ -276,6 +328,29 @@ class ModelService:
         with self._fail_lock:
             self.failures = 0
         return wav_bytes(wave, sr)
+
+    def _synthesize_parler_sync(self, req: SpeechRequest) -> bytes:
+        from f5tts_tpu.engine.ar_engine import ParlerRow
+
+        engine, batcher = self.engine, self.batcher  # snapshot across unload
+        if engine is None or batcher is None:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+        desc = req.description or self.settings.parler_default_description
+        try:
+            fut = batcher.submit(ParlerRow(desc, req.effective_text, seed=req.seed or 0))
+            wave, _ = fut.result(timeout=600)
+        except web.HTTPException:
+            raise
+        except Exception as e:
+            from f5tts_tpu.engine.batcher import OverloadedError
+
+            if isinstance(e, OverloadedError):
+                raise web.HTTPServiceUnavailable(text=json.dumps({"error": str(e)}))
+            self._record_failure(e)
+            raise web.HTTPInternalServerError(text=json.dumps({"error": f"synthesis failed: {e}"}))
+        with self._fail_lock:
+            self.failures = 0
+        return wav_bytes(wave, engine.dac_cfg.sampling_rate)
 
     def _record_failure(self, exc: Exception, threshold: int = 2):
         """Consecutive device/runtime failures -> one background reload."""
@@ -372,6 +447,9 @@ def build_app(settings: Settings) -> web.Application:
             raise web.HTTPBadRequest(text=json.dumps({"error": "text must not be empty"}))
 
         if req.response_format == "stream":
+            if settings.tts_model == "parler":
+                raise web.HTTPBadRequest(text=json.dumps(
+                    {"error": "response_format=stream is not supported on the parler branch"}))
             return await stream_speech(request, req)
         data = await asyncio.get_running_loop().run_in_executor(None, service.synthesize_sync, req)
         return web.Response(
@@ -516,7 +594,8 @@ def build_app(settings: Settings) -> web.Application:
         return web.json_response(
             {
                 "status": "healthy" if service.loaded else "idle",
-                "model": "demo_tiny" if settings.demo_tiny else "IndicF5-TPU",
+                "model": ("demo_tiny" if settings.demo_tiny else "IndicF5-TPU")
+                         + ("-parler" if settings.tts_model == "parler" else ""),
                 "device": settings.device,
                 "consecutive_failures": service.failures,
                 "reloads": service.reloads,
@@ -731,7 +810,7 @@ def build_app(settings: Settings) -> web.Application:
             pass
         s = service.settings
         return web.json_response({
-            "loaded": service.loaded, "demo_tiny": s.demo_tiny,
+            "loaded": service.loaded, "demo_tiny": s.demo_tiny, "tts_model": s.tts_model,
             "tts_ckpt": s.tts_ckpt, "tts_vocab": s.tts_vocab,
             "vocoder_ckpt": s.vocoder_ckpt, "last_used": last,
         })
@@ -750,15 +829,16 @@ def build_app(settings: Settings) -> web.Application:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": f"missing or nonexistent paths: {missing}"}))
         s = service.settings
-        prev = (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny)
+        prev = (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny, s.tts_model)
 
         def _set_new():
             s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt = (
                 paths["tts_ckpt"], paths["tts_vocab"], paths["vocoder_ckpt"])
             s.demo_tiny = False
+            s.tts_model = "f5"  # the hot-swap route takes f5-family checkpoints
 
         def _set_prev():
-            s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny = prev
+            s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny, s.tts_model = prev
 
         def _swap_with_rollback():
             # one sync compound in one executor call: service.swap holds the

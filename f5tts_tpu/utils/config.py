@@ -42,6 +42,13 @@ class Settings:
     tts_vocab: str = ""
     vocoder_ckpt: str = ""
     vocoder_type: str = "vocos"  # "vocos" | "bigvgan" (reference --vocoder_name; env F5TPU_VOCODER_TYPE)
+    # TTS branch: "f5" (flow matching, default) | "parler" (the AR branch the
+    # reference's deployment config names, dhwani_config.json:81)
+    tts_model: str = "f5"
+    parler_ckpt: str = ""  # full ParlerTTSForConditionalGeneration .pt/.safetensors
+    parler_tokenizer: str = ""  # local dir with the T5 tokenizer files
+    parler_max_frames: int = 430  # ~5 s at the 44.1 kHz DAC's 86.13 frames/s
+    parler_default_description: str = "A female speaker delivers clear, natural speech at a moderate pace."
     voices_dir: str = ""
     demo_tiny: bool = False
     max_batch: int = 32
@@ -74,6 +81,8 @@ class Settings:
             raise ValueError("cfg_cache must be >= 1")
         if self.vocoder_type not in ("vocos", "bigvgan"):
             raise ValueError(f"vocoder_type must be vocos|bigvgan, got {self.vocoder_type!r}")
+        if self.tts_model not in ("f5", "parler"):
+            raise ValueError(f"tts_model must be f5|parler, got {self.tts_model!r}")
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":
@@ -109,7 +118,8 @@ def load_deployment_config(path: str, config_name: str, settings: Settings) -> S
             updates[key] = g[key]
     if "lazy_load" in g:
         updates["lazy_load_model"] = bool(g["lazy_load"])
-    for key in ("tts_ckpt", "tts_vocab", "vocoder_ckpt", "voices_dir"):
+    for key in ("tts_ckpt", "tts_vocab", "vocoder_ckpt", "voices_dir", "vocoder_type",
+                "tts_model", "parler_ckpt", "parler_tokenizer"):
         if key in profile:
             updates[key] = profile[key]
     updates["config_name"] = config_name

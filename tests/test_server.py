@@ -337,3 +337,41 @@ def test_server_bigvgan_vocoder():
         loop.close()
     with pytest.raises(ValueError):
         Settings(vocoder_type="nonsense")
+
+
+def test_server_parler_branch():
+    """F5TPU_TTS_MODEL=parler serves the AR branch: style description +
+    prompt in, 44.1 kHz DAC audio out, batched through the continuous
+    batcher; streaming is rejected with 400."""
+    loop = asyncio.new_event_loop()
+    settings = Settings(demo_tiny=True, warmup=False, tts_model="parler",
+                        speech_rate_limit="100/minute")
+    app = build_app(settings)
+    server = TestServer(app, loop=loop)
+    c = TestClient(server, loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        resp, body = _req((c, loop), "GET", "/v1/health")
+        assert json.loads(body)["model"].endswith("-parler")
+        resp, body = _req((c, loop), "POST", "/v1/audio/speech",
+                          json={"text": "parler utterance.", "seed": 3,
+                                "description": "a calm speaker."})
+        assert resp.status == 200
+        from f5tts_tpu.audio.io import read_wav
+
+        wav, sr = read_wav(bytes(body))
+        assert sr == 44100 and len(wav) > 100 and np.isfinite(wav).all()
+        # deterministic under greedy demo decoding
+        resp, body2 = _req((c, loop), "POST", "/v1/audio/speech",
+                           json={"text": "parler utterance.", "seed": 3,
+                                 "description": "a calm speaker."})
+        assert body2 == body
+        resp, _ = _req((c, loop), "POST", "/v1/audio/speech",
+                       json={"text": "x", "response_format": "stream"})
+        assert resp.status == 400
+        resp, body = _req((c, loop), "GET", "/v1/model",
+                          headers={})
+        assert json.loads(body)["tts_model"] == "parler"
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
