@@ -54,10 +54,35 @@ def main(argv=None):
     for i, row in enumerate(rows):
         groups[row.get("prompt_path") or args.ref_audio].append(i)
 
-    # host-side prep for EVERY csv row first, then one synthesize_rows pass:
-    # chunk rows from all requests (any voice) batch into shared bucketed ODE
-    # solves — the per-row engine.synthesize loop would pay one solve per row
-    plans: list[tuple[int, object]] = []
+    # chunk rows from co-pending requests (any voice) batch into shared
+    # bucketed ODE solves — the per-row engine.synthesize loop would pay one
+    # solve per row. Flushed every ~top-bucket rows so a 10k-row corpus never
+    # holds every plan and waveform in host memory at once.
+    top = engine.cfg.batch_buckets[-1]
+    pending: list[tuple[int, object]] = []
+    pending_rows = 0
+
+    def flush():
+        nonlocal pending, pending_rows
+        if not pending:
+            return
+        all_rows = [r for _, plan in pending for r in plan.rows]
+        all_results = engine.synthesize_rows(all_rows)
+        pos = 0
+        for i, plan in pending:
+            k = len(plan.rows)
+            wave, sr, _ = engine.finalize_request(plan, all_results[pos : pos + k])
+            pos += k
+            row = rows[i]
+            sub = row.get("language") or ""
+            out_dir = os.path.join(args.out_dir, sub) if sub else args.out_dir
+            os.makedirs(out_dir, exist_ok=True)
+            name = row.get("id") or f"row{i:05d}"
+            out = os.path.join(out_dir, f"{name}.wav")
+            write_wav(out, wave, sr)
+            print(f"wrote {out} ({len(wave)/sr:.2f}s)")
+        pending, pending_rows = [], 0
+
     for ref_path, idxs in groups.items():
         if ref_path:
             ref_audio, ref_sr = read_wav(ref_path)
@@ -72,29 +97,17 @@ def main(argv=None):
         ref_text = ensure_sentence_punctuation(ref_text)
 
         for i in idxs:
-            plans.append((i, engine.prepare_request(
+            plan = engine.prepare_request(
                 rows[i]["text"], ref_audio, ref_sr, ref_text,
                 speed=args.speed, nfe_step=args.nfe, cfg_strength=args.cfg_strength,
                 seed=args.seed, cross_fade_duration=args.cross_fade,
                 fix_duration_secs=args.fix_duration,
-            )))
-
-    all_rows = [r for _, plan in plans for r in plan.rows]
-    all_results = engine.synthesize_rows(all_rows)
-
-    pos = 0
-    for i, plan in plans:
-        k = len(plan.rows)
-        wave, sr, _ = engine.finalize_request(plan, all_results[pos : pos + k])
-        pos += k
-        row = rows[i]
-        sub = row.get("language") or ""
-        out_dir = os.path.join(args.out_dir, sub) if sub else args.out_dir
-        os.makedirs(out_dir, exist_ok=True)
-        name = row.get("id") or f"row{i:05d}"
-        out = os.path.join(out_dir, f"{name}.wav")
-        write_wav(out, wave, sr)
-        print(f"wrote {out} ({len(wave)/sr:.2f}s)")
+            )
+            pending.append((i, plan))
+            pending_rows += len(plan.rows)
+            if pending_rows >= top:
+                flush()
+    flush()
 
 
 if __name__ == "__main__":

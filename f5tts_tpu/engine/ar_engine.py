@@ -148,13 +148,13 @@ class ParlerTTSEngine:
                 mask[i, : len(ids)] = True
         return out, mask
 
-    def _compiled(self, batch: int, frames: int):
-        key = (batch, frames)
+    def _compiled(self, batch: int, frames: int, per_row_seeds: bool = False):
+        key = (batch, frames, per_row_seeds)
         if key in self._cache:
             return self._cache[key]
         P, cfg = self.P, self.cfg
 
-        def fn(t5_p, dec_p, dac_p, desc, desc_mask, prompt, prompt_mask, rng):
+        def fn(t5_p, dec_p, dac_p, desc, desc_mask, prompt, prompt_mask, rng, row_seeds):
             enc = P.t5_encode(t5_p, self.t5_cfg, desc, desc_mask,
                               compute_dtype=self.compute_dtype)
             codes, lengths = P.parler_generate(
@@ -162,6 +162,7 @@ class ParlerTTSEngine:
                 prompt_ids=prompt, prompt_mask=prompt_mask,
                 eos_token=cfg.eos_token, temperature=cfg.temperature,
                 top_k=cfg.top_k, max_code=self.dac_cfg.codebook_size,
+                row_seeds=row_seeds,
                 compute_dtype=self.compute_dtype)
             wave = P.dac_decode_codes(dac_p, codes, self.dac_cfg,
                                       compute_dtype=self.compute_dtype)
@@ -171,10 +172,17 @@ class ParlerTTSEngine:
         return self._cache[key]
 
     def synthesize_batch(self, descriptions, prompts, seed: int = 0,
-                         frames: int | None = None) -> list[np.ndarray]:
+                         frames: int | None = None, row_seeds=None,
+                         strict_lengths: bool = False) -> list[np.ndarray]:
         """descriptions/prompts: lists of token-id sequences (or raw strings
         when ``encode_fn`` is set). Returns float32 waves at the DAC rate,
-        trimmed to each row's predicted length."""
+        trimmed to each row's predicted length.
+
+        ``row_seeds`` (one int per row) makes each row's sampling stream
+        independent of batch composition; ``seed`` alone keys the whole batch.
+        ``strict_lengths`` raises instead of silently clipping rows whose
+        encoded prompt/description exceed the pad budgets (serving turns this
+        on: a 200 with the head of the text missing is worse than a 400)."""
         if len(descriptions) != len(prompts):
             raise ValueError(
                 f"descriptions ({len(descriptions)}) and prompts ({len(prompts)}) "
@@ -182,14 +190,26 @@ class ParlerTTSEngine:
         if self.encode_fn is not None:
             descriptions = [self.encode_fn(d) for d in descriptions]
             prompts = [self.encode_fn(p) for p in prompts]
+        if strict_lengths:
+            for i, (d, pr) in enumerate(zip(descriptions, prompts)):
+                if len(d) > self.cfg.desc_pad:
+                    raise ValueError(
+                        f"description of row {i} is {len(d)} tokens, over the "
+                        f"{self.cfg.desc_pad}-token budget")
+                if len(pr) > self.cfg.prompt_pad:
+                    raise ValueError(
+                        f"text of row {i} is {len(pr)} tokens, over the "
+                        f"{self.cfg.prompt_pad}-token budget — split the request")
         frames = self.cfg.max_frames if frames is None else frames
         desc, desc_mask = self._pad_ids(descriptions, self.cfg.desc_pad)
         prompt, prompt_mask = self._pad_ids(prompts, self.cfg.prompt_pad, side="left")
-        fn = self._compiled(len(descriptions), frames)
+        if row_seeds is not None:
+            row_seeds = jnp.asarray(np.asarray(row_seeds, np.int32))
+        fn = self._compiled(len(descriptions), frames, row_seeds is not None)
         _, lengths, wave = fn(self.t5_params, self.dec_params, self.dac_params,
                               jnp.asarray(desc), jnp.asarray(desc_mask),
                               jnp.asarray(prompt), jnp.asarray(prompt_mask),
-                              jax.random.PRNGKey(seed))
+                              jax.random.PRNGKey(seed), row_seeds)
         wave = np.asarray(wave, np.float32)
         lengths = np.asarray(lengths)
         return [wave[i, : int(lengths[i]) * self.dac_cfg.hop] for i in range(len(wave))]
@@ -197,17 +217,38 @@ class ParlerTTSEngine:
     def synthesize_rows(self, rows: list[ParlerRow]) -> list[tuple[np.ndarray, None]]:
         """Row-level batched synthesis (the ``ContinuousBatcher`` primitive —
         same contract as ``TTSEngine.synthesize_rows``): co-arriving requests
-        share one decode. The batch is snapped UP to ``cfg.batch_buckets`` by
-        repeating the last row (per-row masks isolate rows, so padded rows
-        cannot change greedy outputs; with temperature>0 the batch size is
-        part of the sampling stream, as with any batched sampler)."""
-        b = len(rows)
-        bucket = next((v for v in self.cfg.batch_buckets if v >= b), b)
-        padded = rows + [rows[-1]] * (bucket - b)
-        waves = self.synthesize_batch(
-            [r.description for r in padded], [r.prompt for r in padded],
-            seed=rows[0].seed)
-        return [(w, None) for w in waves[:b]]
+        share one decode. Batches are split at ``batch_buckets[-1]`` (a burst
+        above the top bucket must not compile a never-warmed exact-size
+        program at serve time) and snapped UP to the next bucket by repeating
+        the last row; per-row masks isolate rows, and ``ParlerRow.seed`` keys
+        each row's own sampling stream, so outputs don't depend on which rows
+        happened to co-batch."""
+        results: list[tuple[np.ndarray, None]] = []
+        top = self.cfg.batch_buckets[-1]
+        for start in range(0, len(rows), top):
+            sub = rows[start : start + top]
+            bucket = next(v for v in self.cfg.batch_buckets if v >= len(sub))
+            padded = sub + [sub[-1]] * (bucket - len(sub))
+            waves = self.synthesize_batch(
+                [r.description for r in padded], [r.prompt for r in padded],
+                row_seeds=[r.seed for r in padded], strict_lengths=True)
+            results.extend((w, None) for w in waves[: len(sub)])
+        return results
+
+    def validate_lengths(self, description: str, prompt: str) -> None:
+        """Raise ValueError when the encoded description/prompt exceeds the
+        pad budgets — called per request BEFORE batching so one oversized
+        request cannot fail an entire co-batched group."""
+        if self.encode_fn is None:
+            return
+        d, pr = self.encode_fn(description), self.encode_fn(prompt)
+        if len(d) > self.cfg.desc_pad:
+            raise ValueError(
+                f"description is {len(d)} tokens, over the {self.cfg.desc_pad}-token budget")
+        if len(pr) > self.cfg.prompt_pad:
+            raise ValueError(
+                f"text is {len(pr)} tokens, over the {self.cfg.prompt_pad}-token "
+                "budget — split the request into shorter utterances")
 
     def warmup(self, batches=(1,)) -> None:
         """Pre-compile the (bucket, max_frames) programs a first burst would

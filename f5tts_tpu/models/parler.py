@@ -446,6 +446,21 @@ def _sample(key, logits, temperature: float, top_k: int):
     return toks.reshape(logits.shape[:-1]).astype(jnp.int32)
 
 
+def _sample_rows(keys, logits, temperature: float, top_k: int):
+    """Per-row keys (b,) x logits (b, K, vocab) -> (b, K): each row's sampling
+    stream depends only on its own key, never on batch size or co-batched
+    rows (the continuous batcher mixes requests — same philosophy as the flow
+    engine's per-row seeded noise, ``cfm.py:181-186`` parity)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.vmap(
+        lambda k, lg: jax.random.categorical(k, lg, axis=-1))(keys, logits).astype(jnp.int32)
+
+
 def parler_generate(
     params,
     cfg: ParlerDecoderConfig,
@@ -461,6 +476,7 @@ def parler_generate(
     temperature: float = 1.0,
     top_k: int = 0,
     max_code: int | None = None,  # codec codebook size; sampled specials >= it are zeroed
+    row_seeds: jnp.ndarray | None = None,  # (b,) int32: per-row sampling streams
     compute_dtype=jnp.float32,
 ):
     """Delay-pattern AR generation with a static KV cache.
@@ -601,8 +617,15 @@ def parler_generate(
 
     def step(carry, j):
         logits, cache, key, eos_frame = carry
-        key, sk = jax.random.split(key)
-        sampled = _sample(sk, logits, temperature, top_k)  # (b, K)
+        if row_seeds is None:
+            key, sk = jax.random.split(key)
+            sampled = _sample(sk, logits, temperature, top_k)  # (b, K)
+        else:
+            # per-row streams: fold (seed, step) into the base key so a row's
+            # audio is reproducible regardless of which rows it batched with
+            keys_j = jax.vmap(
+                lambda s: jax.random.fold_in(jax.random.fold_in(key, s), j))(row_seeds)
+            sampled = _sample_rows(keys_j, logits, temperature, top_k)  # (b, K)
         # codebook-0 EOS at code index i ends the utterance at frame i;
         # trailing codebooks still emit their delayed frames < eos_frame
         idx0 = j - 1

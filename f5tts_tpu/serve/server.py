@@ -216,7 +216,7 @@ class ModelService:
             t5_p, dec_p, dac_p = (P.init_t5_encoder(kt, t5), P.init_parler_decoder(kd, dec),
                                   P.init_dac_decoder(kq, dac))
             encode_fn = lambda txt: [ord(c) % t5.vocab for c in txt]  # noqa: E731
-            ecfg = ParlerEngineConfig(max_frames=32, desc_pad=16, prompt_pad=16,
+            ecfg = ParlerEngineConfig(max_frames=32, desc_pad=64, prompt_pad=64,
                                       temperature=0.0, eos_token=-1,
                                       compute_dtype="float32", batch_buckets=(1, 2, 4))
         else:
@@ -229,7 +229,10 @@ class ModelService:
             encode_fn = lambda txt: tok(txt).input_ids  # noqa: E731
             t5, dec, dac = P.T5Config(), P.ParlerDecoderConfig(), P.DacConfig()
             t5_p, dec_p, dac_p = P.load_parler_checkpoint(s.parler_ckpt, t5, dec, dac)
-            ecfg = ParlerEngineConfig(max_frames=s.parler_max_frames, compute_dtype=s.dtype)
+            ecfg = ParlerEngineConfig(max_frames=s.parler_max_frames,
+                                      desc_pad=s.parler_desc_pad,
+                                      prompt_pad=s.parler_prompt_pad,
+                                      compute_dtype=s.dtype)
         engine = ParlerTTSEngine(t5_p, t5, dec_p, dec, dac_p, dac, ecfg, encode_fn=encode_fn)
         if s.warmup:
             batches = [int(v) for v in str(s.warmup_batches).split(",") if v.strip()] or [1]
@@ -337,10 +340,18 @@ class ModelService:
             raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
         desc = req.description or self.settings.parler_default_description
         try:
+            # per-request length validation BEFORE batching: an oversized
+            # request must 400 alone, not fail its whole co-batched group
+            engine.validate_lengths(desc, req.effective_text)
+        except ValueError as e:
+            raise web.HTTPBadRequest(text=json.dumps({"error": str(e)}))
+        try:
             fut = batcher.submit(ParlerRow(desc, req.effective_text, seed=req.seed or 0))
             wave, _ = fut.result(timeout=600)
         except web.HTTPException:
             raise
+        except ValueError as e:  # strict-length backstop inside the batch
+            raise web.HTTPBadRequest(text=json.dumps({"error": str(e)}))
         except Exception as e:
             from f5tts_tpu.engine.batcher import OverloadedError
 
@@ -428,8 +439,11 @@ def build_app(settings: Settings) -> web.Application:
     def check_auth(request):
         import hmac
 
-        if settings.api_key and not hmac.compare_digest(
-                request.headers.get("Authorization", ""), f"Bearer {settings.api_key}"):
+        # compare bytes: compare_digest on str raises TypeError for non-ASCII
+        # header values, which would turn an auth failure into a 500
+        supplied = request.headers.get("Authorization", "").encode("utf-8", "surrogateescape")
+        expected = f"Bearer {settings.api_key}".encode("utf-8", "surrogateescape")
+        if settings.api_key and not hmac.compare_digest(supplied, expected):
             raise web.HTTPUnauthorized(text=json.dumps({"error": "invalid api key"}))
 
     async def speech(request: web.Request) -> web.StreamResponse:
@@ -609,6 +623,9 @@ def build_app(settings: Settings) -> web.Application:
         `parts` ('start,end;start,end' seconds), optional `fix_durations`,
         `nfe_step`, `cfg_strength`, `seed`."""
         check_auth(request)
+        if settings.tts_model == "parler":
+            raise web.HTTPNotImplemented(text=json.dumps(
+                {"error": "speech editing is a flow-matching capability; not available on the parler branch"}))
         if not service.loaded:
             raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
         form = await request.post()
@@ -817,8 +834,10 @@ def build_app(settings: Settings) -> web.Application:
 
     async def load_model(request: web.Request) -> web.Response:
         """Hot-swap the served checkpoint: POST {tts_ckpt, tts_vocab,
-        vocoder_ckpt} — validates paths, reloads the engine, remembers the
-        choice for next time."""
+        vocoder_ckpt, vocoder_type?} — validates paths, reloads the engine,
+        remembers the choice for next time. ``vocoder_type`` (vocos|bigvgan)
+        states the vocoder checkpoint's family; without it a bigvgan-launched
+        server could never swap to a vocos checkpoint (wrong converter)."""
         import os
 
         check_auth(request)
@@ -828,17 +847,23 @@ def build_app(settings: Settings) -> web.Application:
         if missing:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": f"missing or nonexistent paths: {missing}"}))
+        vocoder_type = body.get("vocoder_type", "vocos")
+        if vocoder_type not in ("vocos", "bigvgan"):
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": f"vocoder_type must be vocos|bigvgan, got {vocoder_type!r}"}))
         s = service.settings
-        prev = (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny, s.tts_model)
+        prev = (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny, s.tts_model, s.vocoder_type)
 
         def _set_new():
             s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt = (
                 paths["tts_ckpt"], paths["tts_vocab"], paths["vocoder_ckpt"])
             s.demo_tiny = False
             s.tts_model = "f5"  # the hot-swap route takes f5-family checkpoints
+            s.vocoder_type = vocoder_type
 
         def _set_prev():
-            s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny, s.tts_model = prev
+            (s.tts_ckpt, s.tts_vocab, s.vocoder_ckpt, s.demo_tiny,
+             s.tts_model, s.vocoder_type) = prev
 
         def _swap_with_rollback():
             # one sync compound in one executor call: service.swap holds the

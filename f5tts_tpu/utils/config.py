@@ -48,7 +48,9 @@ class Settings:
     parler_ckpt: str = ""  # full ParlerTTSForConditionalGeneration .pt/.safetensors
     parler_tokenizer: str = ""  # local dir with the T5 tokenizer files
     parler_max_frames: int = 430  # ~5 s at the 44.1 kHz DAC's 86.13 frames/s
-    parler_default_description: str = "A female speaker delivers clear, natural speech at a moderate pace."
+    parler_prompt_pad: int = 256  # token budget per utterance (400 when over)
+    parler_desc_pad: int = 128  # token budget for the style description
+    parler_default_description: str = "A female speaker with clear natural speech."
     voices_dir: str = ""
     demo_tiny: bool = False
     max_batch: int = 32

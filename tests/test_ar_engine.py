@@ -76,3 +76,64 @@ def test_pad_ids_left_truncation_keeps_tail():
     out, mask = ParlerTTSEngine._pad_ids(None, [[5, 6]], 4, side="left")
     assert out[0].tolist() == [0, 0, 5, 6]
     assert mask[0].tolist() == [False, False, True, True]
+
+
+def _tiny_parler_engine(temperature=0.0, top_k=0, batch_buckets=(1, 2, 4)):
+    from f5tts_tpu.engine.ar_engine import ParlerEngineConfig, ParlerTTSEngine
+    from f5tts_tpu.models import parler as P
+
+    t5 = P.T5Config(vocab=60, d_model=24, d_kv=6, d_ff=32, heads=4, layers=2,
+                    rel_buckets=8, rel_max_dist=20)
+    dec = P.ParlerDecoderConfig(vocab=40, codebooks=4, hidden=32, layers=2,
+                                heads=4, ffn=48, cross_dim=24, prompt_vocab=60)
+    dac = P.DacConfig(num_codebooks=4, codebook_size=40, codebook_dim=6,
+                      latent_dim=24, decoder_dim=16, rates=(4, 2))
+    kt, kd, kq = jax.random.split(jax.random.PRNGKey(0), 3)
+    return ParlerTTSEngine(
+        P.init_t5_encoder(kt, t5), t5,
+        P.init_parler_decoder(kd, dec), dec,
+        P.init_dac_decoder(kq, dac), dac,
+        ParlerEngineConfig(max_frames=8, desc_pad=24, prompt_pad=24,
+                           temperature=temperature, top_k=top_k, eos_token=-1,
+                           compute_dtype="float32", batch_buckets=batch_buckets),
+        encode_fn=lambda s: [ord(c) % 60 for c in s],
+    )
+
+
+def test_parler_rows_split_oversized_batches():
+    """A burst above the top batch bucket must split into bucket-sized solves
+    rather than compiling a never-warmed exact-size program at serve time."""
+    from f5tts_tpu.engine.ar_engine import ParlerRow
+
+    eng = _tiny_parler_engine()
+    rows = [ParlerRow("a speaker.", f"utterance {i}.", seed=i) for i in range(7)]
+    results = eng.synthesize_rows(rows)  # buckets: 4 + (3->4 padded)
+    assert len(results) == 7
+    assert all(np.isfinite(w).all() for w, _ in results)
+    # only bucket-sized programs were compiled (4 and 4, not 7)
+    assert all(k[0] in eng.cfg.batch_buckets for k in eng._cache)
+
+
+def test_parler_row_seed_composition_invariance():
+    """With temperature>0, a row's audio depends only on its own seed — not
+    on batch size or which rows it co-batched with (continuous batching mixes
+    requests arbitrarily)."""
+    from f5tts_tpu.engine.ar_engine import ParlerRow
+
+    eng = _tiny_parler_engine(temperature=0.9, top_k=8)
+    target = ParlerRow("a calm speaker.", "the target utterance.", seed=41)
+    alone = eng.synthesize_rows([target])[0][0]
+    others = [ParlerRow("another speaker.", f"filler {i}.", seed=100 + i) for i in range(3)]
+    batched = eng.synthesize_rows(others[:1] + [target] + others[1:])[1][0]
+    np.testing.assert_array_equal(alone, batched)
+
+
+def test_parler_validate_lengths():
+    import pytest
+
+    eng = _tiny_parler_engine()
+    eng.validate_lengths("short desc.", "short text.")
+    with pytest.raises(ValueError, match="token budget"):
+        eng.validate_lengths("short desc.", "x" * 100)
+    with pytest.raises(ValueError, match="token budget"):
+        eng.validate_lengths("d" * 100, "short text.")

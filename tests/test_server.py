@@ -375,3 +375,31 @@ def test_server_parler_branch():
     finally:
         loop.run_until_complete(c.close())
         loop.close()
+
+
+def test_server_parler_over_budget_text_is_400():
+    """An over-budget parler request 400s alone, before batching — it must
+    not fail a co-batched group or trip the failure-recovery reload."""
+    loop = asyncio.new_event_loop()
+    settings = Settings(demo_tiny=True, warmup=False, tts_model="parler",
+                        speech_rate_limit="100/minute")
+    app = build_app(settings)
+    server = TestServer(app, loop=loop)
+    c = TestClient(server, loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        resp, body = _req((c, loop), "POST", "/v1/audio/speech",
+                          json={"text": "y" * 500, "description": "a speaker."})
+        assert resp.status == 400
+        assert json.loads(body)["error"].startswith("text is")
+        # a description-less request must use a default that fits the budget
+        resp, _ = _req((c, loop), "POST", "/v1/audio/speech", json={"text": "hello."})
+        assert resp.status == 200
+        resp, body = _req((c, loop), "GET", "/v1/health")
+        assert json.loads(body)["consecutive_failures"] == 0
+        # speech_edit is a flow capability: clean 501 on this branch
+        resp, _ = _req((c, loop), "POST", "/v1/speech_edit", data={"target_text": "x"})
+        assert resp.status == 501
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
