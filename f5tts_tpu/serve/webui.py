@@ -16,6 +16,10 @@ PAGE = """<!doctype html>
 <h2>f5tts-tpu — Indic TTS</h2>
 <div class="row"><textarea id="text" placeholder="Type text to speak...">Hello! This speech was synthesized on a TPU.</textarea></div>
 <div class="row" id="styles" style="color:#666">multi-style: </div>
+<div class="row" id="descrow" style="display:none">
+ style description <input id="desc" placeholder="A calm female speaker..." style="width:70%"
+  title="parler branch: conditions the voice on a text description instead of reference audio">
+</div>
 <div class="row">
  voice <select id="voice"></select>
  steps <input id="nfe" type="number" value="32" min="1" max="128" style="width:4.5rem">
@@ -65,6 +69,11 @@ async function loadModelInfo() {
     document.getElementById('vocab').value = m.tts_vocab || last.tts_vocab || '';
     document.getElementById('vocoder').value = m.vocoder_ckpt || last.vocoder_ckpt || '';
     if (m.demo_tiny) document.getElementById('mstatus').textContent = 'serving: demo-tiny';
+    if (m.tts_model === 'parler') {
+      // parler branch: description conditioning, no reference voices
+      document.getElementById('descrow').style.display = '';
+      document.getElementById('voice').disabled = true;
+    }
   } catch (e) {}
 }
 document.getElementById('loadmodel').onclick = async () => {
@@ -167,6 +176,8 @@ document.getElementById('go').onclick = async () => {
   };
   const seed = document.getElementById('seed').value;
   if (seed !== '') body.seed = parseInt(seed);
+  const desc = document.getElementById('desc').value;
+  if (desc) body.description = desc;
   const t0 = performance.now();
   const r = await fetch('/v1/audio/speech', {method:'POST', headers: authH({'content-type':'application/json'}), body: JSON.stringify(body)});
   if (!r.ok) { status.textContent = 'error: ' + (await r.text()); return; }
