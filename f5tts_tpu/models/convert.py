@@ -183,6 +183,57 @@ def convert_e2_unett(sd: dict[str, np.ndarray], cfg) -> dict:
     return _to_jnp(params)
 
 
+def convert_mmdit(sd: dict[str, np.ndarray], cfg) -> dict:
+    """MMDiT state dict -> ``init_mmdit`` pytree.
+
+    Reference layout (``model/backbones/mmdit.py:76-146`` + ``modules.py:578-642``):
+    ``transformer_blocks.{i}.{attn_norm_c,attn_norm_x}.linear``, joint attention
+    ``attn.{to_q,to_k,to_v,to_q_c,to_k_c,to_v_c,to_out.0,to_out_c}``, dual FFNs
+    ``ff_{c,x}.ff.{0.0,2}``; the last block is ``context_pre_only`` (final-style
+    AdaLN on c, no ``ff_c``/``to_out_c``).
+    """
+    sd = strip_ema(dict(sd))
+    t = "transformer"
+
+    def block(i: int, pre_only: bool):
+        base = f"{t}.transformer_blocks.{i}"
+        attn = {
+            name: _lin(sd, f"{base}.attn.{name}")
+            for name in ("to_q", "to_k", "to_v", "to_q_c", "to_k_c", "to_v_c")
+        }
+        attn["to_out"] = _lin(sd, f"{base}.attn.to_out.0")
+        p = {
+            "attn_norm_c": {"linear": _lin(sd, f"{base}.attn_norm_c.linear")},
+            "attn_norm_x": {"linear": _lin(sd, f"{base}.attn_norm_x.linear")},
+            "attn": attn,
+            "ff_x": {"in": _lin(sd, f"{base}.ff_x.ff.0.0"), "out": _lin(sd, f"{base}.ff_x.ff.2")},
+        }
+        if not pre_only:
+            p["attn"]["to_out_c"] = _lin(sd, f"{base}.attn.to_out_c")
+            p["ff_c"] = {"in": _lin(sd, f"{base}.ff_c.ff.0.0"), "out": _lin(sd, f"{base}.ff_c.ff.2")}
+        return p
+
+    params = {
+        "time_embed": {
+            "mlp1": _lin(sd, f"{t}.time_embed.time_mlp.0"),
+            "mlp2": _lin(sd, f"{t}.time_embed.time_mlp.2"),
+        },
+        "text_embed": {"w": sd[f"{t}.text_embed.text_embed.weight"]},
+        "audio_embed": {
+            "proj": _lin(sd, f"{t}.audio_embed.linear"),
+            "conv_pos": {
+                "conv1": _conv(sd, f"{t}.audio_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(sd, f"{t}.audio_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "blocks": _stack([block(i, False) for i in range(cfg.depth - 1)]),
+        "final_block": block(cfg.depth - 1, True),
+        "norm_out": {"linear": _lin(sd, f"{t}.norm_out.linear")},
+        "proj_out": _lin(sd, f"{t}.proj_out"),
+    }
+    return _to_jnp(params)
+
+
 def convert_vocos(sd: dict[str, np.ndarray], cfg: VocosConfig = VocosConfig()) -> dict:
     """``charactr/vocos-mel-24khz`` state dict -> ``init_vocos`` pytree."""
     params = {

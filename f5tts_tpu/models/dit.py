@@ -98,12 +98,23 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def text_embed(params, cfg: DiTConfig, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray) -> jnp.ndarray:
+def text_embed(
+    params, cfg: DiTConfig, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray,
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """``(b, nt) int32 (pad = -1)`` -> ``(b, seq_len, text_dim)``.
 
     Matches ``dit.py:47-69``: +1 shift, curtail/pad to ``seq_len`` with filler 0,
     CFG drop -> all-filler, abs sin/cos position table, ConvNeXtV2 stack.
     ``drop_text``: bool ``(b,)`` array (fused-CFG design).
+
+    ``valid_mask`` (b, seq_len): each row's true frame count inside the padded
+    bucket. The reference serves batch 1 with seq_len == the row's duration
+    (``cfm.py:133-146``, ``utils_infer.py:443``); under bucketing, the GRN's
+    global-over-positions norm and the depthwise conv taps would otherwise see
+    the pad — masking them reproduces the reference's batch-1 output exactly
+    for every row (and makes rows bucket-size invariant). ``None`` keeps the
+    reference's *training* semantics (padded batch, no mask — ``cfm.py:277``).
     """
     p = params["text_embed"]
     b, nt = text.shape
@@ -116,13 +127,13 @@ def text_embed(params, cfg: DiTConfig, text: jnp.ndarray, seq_len: int, drop_tex
     if p["blocks"] is not None:
         table = jnp.asarray(precompute_freqs_cis(cfg.text_dim, cfg.max_pos))
         h = h + table[:seq_len][None].astype(h.dtype)
-        h = _scan_blocks(p["blocks"], h, m.convnext_v2_block)
+        h = _scan_blocks(p["blocks"], h, m.convnext_v2_block, valid_mask)
     return h
 
 
-def _scan_blocks(stacked, x, block_fn):
+def _scan_blocks(stacked, x, block_fn, mask=None):
     def body(carry, blk):
-        return block_fn(blk, carry), None
+        return block_fn(blk, carry, mask=mask), None
 
     y, _ = lax.scan(body, x, stacked)
     return y
@@ -136,9 +147,10 @@ def input_embed(params, x, cond, text_emb, drop_audio_cond, mask=None, conv_pos_
     return m.conv_pos_embedding(p["conv_pos"], h, mask, impl=conv_pos_impl) + h
 
 
-def dit_embed(params, cfg: DiTConfig, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray):
+def dit_embed(params, cfg: DiTConfig, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray,
+              valid_mask: jnp.ndarray | None = None):
     """Step-invariant text embedding, lifted out of the ODE loop by the sampler."""
-    return text_embed(params, cfg, text, seq_len, drop_text)
+    return text_embed(params, cfg, text, seq_len, drop_text, valid_mask)
 
 
 def dit_forward(
@@ -161,7 +173,7 @@ def dit_forward(
 
     t = m.timestep_embedding(params["time_embed"], time.astype(compute_dtype))
     if text_emb is None:
-        text_emb = dit_embed(params, cfg, text, n, drop_text)
+        text_emb = dit_embed(params, cfg, text, n, drop_text, valid_mask=mask)
     x = x.astype(compute_dtype)
     cond = cond.astype(compute_dtype)
     text_emb = text_emb.astype(compute_dtype)

@@ -251,7 +251,15 @@ def conv_pos_embedding(p, x, mask=None, kernel_size: int = 31, groups: int = 16,
     """``impl='fused'`` takes the true-FLOP Pallas kernel
     (``ops/pallas/conv_pos.py`` — the densified XLA path does 16x the MACs);
     only valid outside sharded/pjit contexts. ``'xla'`` keeps the reference
-    formulation (grouped einsum, or big dense matmuls on densified weights)."""
+    formulation (grouped einsum, or big dense matmuls on densified weights).
+
+    ``mask`` must be a per-row PREFIX (duration) mask. It is applied to the
+    input, BETWEEN the two convs, and to the output, so every valid frame
+    computes exactly what the reference's batch-1 (unpadded) call computes
+    with its zero conv boundary — rows are bucket-size invariant. (The
+    reference's own batched mode skips all three masks, ``dit.py:86``, which
+    is why its batched output drifts from its batch-1 output near row ends,
+    ``cfm.py:179-180``.)"""
     pad = kernel_size // 2
     if mask is not None:
         x = jnp.where(mask[..., None], x, 0.0)
@@ -265,16 +273,27 @@ def conv_pos_embedding(p, x, mask=None, kernel_size: int = 31, groups: int = 16,
         and k == kernel_size
         and cg % 8 == 0
     ):
-        from f5tts_tpu.ops.pallas.conv_pos import pick_cluster, pick_tile
+        from f5tts_tpu.ops.pallas.conv_pos import conv_pos_pallas, pick_cluster, pick_tile
 
         if pick_tile(x.shape[1]) is not None and pick_cluster(groups, cg) is not None:
-            y = _conv_pos_fused(
-                x, w1, p["conv1"]["b"], p["conv2"]["w"], p["conv2"]["b"], groups, kernel_size
-            )
-            if mask is not None:
+            if mask is None:
+                # custom-vjp wrapper (trainable path)
+                y = _conv_pos_fused(
+                    x, w1, p["conv1"]["b"], p["conv2"]["w"], p["conv2"]["b"], groups, kernel_size
+                )
+            else:
+                # serving path (never differentiated): per-row lens zero the
+                # inter-conv scratch inside the kernel
+                y = conv_pos_pallas(
+                    x, w1, p["conv1"]["b"], p["conv2"]["w"], p["conv2"]["b"],
+                    groups=groups, kernel_size=kernel_size,
+                    lens=jnp.sum(mask, axis=-1).astype(jnp.int32),
+                )
                 y = jnp.where(mask[..., None], y, 0.0)
             return y
     y = mish(conv1d(p["conv1"], x, groups=groups, padding=pad))
+    if mask is not None:
+        y = jnp.where(mask[..., None], y, 0.0)
     y = mish(conv1d(p["conv2"], y, groups=groups, padding=pad))
     if mask is not None:
         y = jnp.where(mask[..., None], y, 0.0)
@@ -324,23 +343,40 @@ def init_convnext_v2_block(key, dim: int, intermediate_dim: int, dilation: int =
     }
 
 
-def grn(gamma, beta, x):
-    """Global response norm over the sequence axis (modules.py:231-234)."""
-    gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True))
+def grn(gamma, beta, x, mask=None):
+    """Global response norm over the sequence axis (modules.py:231-234).
+
+    GRN's L2 norm runs over ALL positions, so padded frames change every
+    frame's output. ``mask`` (b, n) excludes padded positions from the norm,
+    making a bucketed row compute exactly what the reference computes at the
+    row's true length (its batch-1 serving mode)."""
+    sq = jnp.square(x.astype(jnp.float32))
+    if mask is not None:
+        sq = jnp.where(mask[..., None], sq, 0.0)
+    gx = jnp.sqrt(jnp.sum(sq, axis=1, keepdims=True))
     nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
     nx = nx.astype(x.dtype)
     return gamma.astype(x.dtype) * (x * nx) + beta.astype(x.dtype) + x
 
 
-def convnext_v2_block(p, x, dilation: int = 1):
+def convnext_v2_block(p, x, dilation: int = 1, mask=None):
+    """With ``mask``: valid frames see zero conv taps at the row boundary and
+    a mask-restricted GRN norm — bit-equal to running the block unpadded at
+    the row's length (the reference's batch-1 semantics); padded frames are
+    zeroed so downstream convs/norms stay row-isolated."""
+    if mask is not None:
+        x = jnp.where(mask[..., None], x, 0.0)
     pad = (dilation * 6) // 2
     h = conv1d(p["dwconv"], x, groups=x.shape[-1], padding=pad, dilation=dilation)
     h = layer_norm(h, 1e-6, p["norm_w"], p["norm_b"])
     h = linear(p["pw1"], h)
     h = jax.nn.gelu(h, approximate=False)
-    h = grn(p["grn_gamma"], p["grn_beta"], h)
+    h = grn(p["grn_gamma"], p["grn_beta"], h, mask)
     h = linear(p["pw2"], h)
-    return x + h
+    out = x + h
+    if mask is not None:
+        out = jnp.where(mask[..., None], out, 0.0)
+    return out
 
 
 # ---------------------------------------------------------------------------

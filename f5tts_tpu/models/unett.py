@@ -92,12 +92,12 @@ def init_unett(key: jax.Array, cfg: UNetTConfig):
     }
 
 
-def unett_embed(params, cfg: UNetTConfig, text, seq_len: int, drop_text):
+def unett_embed(params, cfg: UNetTConfig, text, seq_len: int, drop_text, valid_mask=None):
     # same TextEmbedding wiring as DiT (unett.py:35-72)
     from f5tts_tpu.models.dit import DiTConfig
 
     proxy = DiTConfig(text_dim=cfg.text_dim, max_pos=cfg.max_pos)
-    return dit_text_embed(params, proxy, text, seq_len, drop_text)
+    return dit_text_embed(params, proxy, text, seq_len, drop_text, valid_mask)
 
 
 def unett_forward(
@@ -120,7 +120,7 @@ def unett_forward(
 
     t = m.timestep_embedding(params["time_embed"], time.astype(compute_dtype))
     if text_emb is None:
-        text_emb = unett_embed(params, cfg, text, n, drop_text)
+        text_emb = unett_embed(params, cfg, text, n, drop_text, valid_mask=mask)
 
     x = x.astype(compute_dtype)
     cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond.astype(compute_dtype))

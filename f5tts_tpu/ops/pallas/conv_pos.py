@@ -73,13 +73,14 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
-def _conv_pos_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, y1_ref,
+def _conv_pos_kernel(x_ref, l_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, y1_ref,
                      *, k: int, n: int, tn: int, m: int, phase: int):
     pad = k // 2
     cg = w1_ref.shape[-1]
     phases = tap_phases(k, phase)
+    row_len = l_ref[0]  # valid prefix length of this batch row (n = unmasked)
 
-    def conv_tiles(read_tile, w_ref, b_ref, write_tile):
+    def conv_tiles(read_tile, w_ref, b_ref, write_tile, mask_rows: bool):
         """read_tile(lo, hi) returns padded rows [lo, hi) of (., m*cg) input."""
         for i in range(n // tn):
             xp = read_tile(i * tn, i * tn + tn + 2 * pad)  # (tn + 2*pad, m*cg)
@@ -100,7 +101,14 @@ def _conv_pos_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, y1_ref,
                     )
                     row += len(taps) * cg
                 outs.append(_mish(acc))
-            write_tile(i * tn, jnp.concatenate(outs, axis=1))  # (tn, m*cg)
+            y = jnp.concatenate(outs, axis=1)  # (tn, m*cg)
+            if mask_rows:
+                # zero the intermediate past the row's valid length so conv2's
+                # taps see the same zero boundary the reference's batch-1
+                # (unpadded) call sees — row output becomes bucket-invariant
+                rows = jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0) + i * tn
+                y = jnp.where(rows < row_len, y, 0.0)
+            write_tile(i * tn, y)
 
     zeros = jnp.zeros((pad, m * cg), x_ref.dtype)
     xp_full = jnp.concatenate([zeros, x_ref[0], zeros], axis=0)  # (n + 2*pad, m*cg)
@@ -112,12 +120,14 @@ def _conv_pos_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, y1_ref,
         lambda lo, hi: xp_full[lo:hi],
         w1_ref, b1_ref,
         lambda lo, y: y1_ref.__setitem__(slice(pad + lo, pad + lo + tn), y.astype(y1_ref.dtype)),
+        mask_rows=True,
     )
     # conv2 -> output
     conv_tiles(
         lambda lo, hi: y1_ref[lo:hi],
         w2_ref, b2_ref,
         lambda lo, y: o_ref.__setitem__((0, slice(lo, lo + tn)), y.astype(o_ref.dtype)),
+        mask_rows=False,
     )
 
 
@@ -131,6 +141,7 @@ def conv_pos_pallas(
     groups: int = 16,
     kernel_size: int = 31,
     interpret: bool | None = None,
+    lens: jnp.ndarray | None = None,  # (b,) int32 valid prefix per row
 ) -> jnp.ndarray:
     b, n, c = x.shape
     cg = c // groups
@@ -147,6 +158,8 @@ def conv_pos_pallas(
     bg2 = b2.reshape(gm, m, 1, cg)
     pad = kernel_size // 2
     kcg = kernel_size * cg
+    if lens is None:
+        lens = jnp.full((b,), n, jnp.int32)
     # 2-D grid (batch, group-cluster); channel clusters sliced in-place by
     # block specs — no HBM re-layout of x or the output
     grid = (b, gm)
@@ -155,6 +168,7 @@ def conv_pos_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n, m * cg), lambda bi, g: (bi, 0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda bi, g: (bi,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m, kcg, cg), lambda bi, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, 1, cg), lambda bi, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, kcg, cg), lambda bi, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -164,5 +178,5 @@ def conv_pos_pallas(
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((n + 2 * pad, m * cg), x.dtype)],
         interpret=interpret,
-    )(x, w1f, bg1, w2f, bg2)
+    )(x, lens.astype(jnp.int32), w1f, bg1, w2f, bg2)
     return out

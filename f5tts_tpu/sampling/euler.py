@@ -54,6 +54,13 @@ class SamplerConfig:
     # cfg_interval), but null forwards drop to ceil(steps/k). 1 = off.
     # Euler only; mutually exclusive with cfg_interval.
     cfg_cache_period: int = 1
+    # "hold": reuse the last null velocity as-is. "extrapolate": first-order
+    # extrapolation from the last TWO refreshes, null(t) ≈ null(t_k) +
+    # (t−t_k)/(t_k−t_{k−1})·(null(t_k)−null(t_{k−1})) — the coefficients are
+    # static functions of the knot grid, so this costs two cached buffers and
+    # a fused multiply-add, no extra forwards. Measured (BENCH.md) it cuts the
+    # hold-cache's deviation from the full recipe by ~an order of magnitude.
+    cfg_cache_mode: str = "hold"
 
     def __post_init__(self):
         # fail at config construction, not at first-request trace time
@@ -61,6 +68,8 @@ class SamplerConfig:
             raise ValueError(f"cfg_interval must be (lo, hi), got {self.cfg_interval!r}")
         if self.cfg_cache_period < 1:
             raise ValueError("cfg_cache_period must be >= 1")
+        if self.cfg_cache_mode not in ("hold", "extrapolate"):
+            raise ValueError(f"cfg_cache_mode must be 'hold' or 'extrapolate', got {self.cfg_cache_mode!r}")
         if self.cfg_cache_period > 1:
             if self.method != "euler":
                 raise ValueError("cfg_cache_period requires method='euler'")
@@ -157,7 +166,11 @@ def sample_cfm(
         # one fused forward of batch 2b: [cond branch; null branch]
         text2 = jnp.concatenate([text, text], axis=0)
         drop_text2 = jnp.concatenate([f, ~f], axis=0)
-        text_emb2 = embed_fn(params, model_cfg, text2, n, drop_text2)
+        # valid_mask = per-row duration: the reference embeds text at exactly
+        # the row's duration (batch-1 serving); masking the conv taps and the
+        # GRN's global norm reproduces that inside the padded bucket.
+        text_emb2 = embed_fn(params, model_cfg, text2, n, drop_text2,
+                             jnp.concatenate([attn_mask, attn_mask], axis=0))
         cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
         mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
         drop_audio2 = jnp.concatenate([f, ~f], axis=0)
@@ -208,7 +221,7 @@ def sample_cfm(
                 velocity_plain = cond_forward
 
     else:
-        text_emb = embed_fn(params, model_cfg, text, n, f)
+        text_emb = embed_fn(params, model_cfg, text, n, f, attn_mask)
 
         def velocity(t_scalar, x):
             return forward_fn(
@@ -252,16 +265,48 @@ def sample_cfm(
             t0s = knots[:-1].reshape(ngroups, k)
             t1s = knots[1:].reshape(ngroups, k)
 
-            def group(y, ts):
-                t0v, t1v = ts
-                pred, null = velocity_pair(t0v[0], y)
-                y = y + (t1v[0] - t0v[0]) * (pred + (pred - null) * s)
-                for j in range(1, k):
-                    pj = cond_forward(t0v[j], y)
-                    y = y + (t1v[j] - t0v[j]) * (pj + (pj - null) * s)
-                return y, None
+            if sampler.cfg_cache_mode == "extrapolate":
+                # static extrapolation coefficients from the (host-side) knot
+                # values: null(t) ≈ null(T_g) + c·(null(T_g) − null(T_{g−1})),
+                # c = (t − T_g)/(T_g − T_{g−1}); group 0 holds (c = 0).
+                import numpy as np
 
-            y, _ = lax.scan(group, y, (t0s, t1s))
+                if sampler.time_grid is not None:
+                    t_np = np.asarray(sampler.time_grid, np.float64)
+                else:
+                    t_np = np.linspace(0.0, 1.0, sampler.steps + 1)
+                    if sampler.sway_sampling_coef is not None:
+                        t_np = t_np + sampler.sway_sampling_coef * (np.cos(np.pi / 2 * t_np) - 1 + t_np)
+                refresh = t_np[np.arange(ngroups) * k]
+                coefs = np.zeros((ngroups, k))
+                for g in range(1, ngroups):
+                    coefs[g] = (t_np[g * k : g * k + k] - refresh[g]) / (refresh[g] - refresh[g - 1])
+                coefs_j = jnp.asarray(coefs, y0.dtype)
+
+                def group_x(carry, xs):
+                    y, null_prev = carry
+                    t0v, t1v, cv = xs
+                    pred, null = velocity_pair(t0v[0], y)
+                    y = y + (t1v[0] - t0v[0]) * (pred + (pred - null) * s)
+                    for j in range(1, k):
+                        pj = cond_forward(t0v[j], y)
+                        null_j = null + cv[j] * (null - null_prev)
+                        y = y + (t1v[j] - t0v[j]) * (pj + (pj - null_j) * s)
+                    return (y, null), None
+
+                (y, _), _ = lax.scan(group_x, (y, jnp.zeros_like(y0)), (t0s, t1s, coefs_j))
+            else:
+
+                def group(y, ts):
+                    t0v, t1v = ts
+                    pred, null = velocity_pair(t0v[0], y)
+                    y = y + (t1v[0] - t0v[0]) * (pred + (pred - null) * s)
+                    for j in range(1, k):
+                        pj = cond_forward(t0v[j], y)
+                        y = y + (t1v[j] - t0v[j]) * (pj + (pj - null) * s)
+                    return y, None
+
+                y, _ = lax.scan(group, y, (t0s, t1s))
         # remainder steps (< k of them): full guided pairs
         for j in range(ngroups * k, nsteps):
             pred, null = velocity_pair(t_grid[j], y)

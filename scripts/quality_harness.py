@@ -1,0 +1,226 @@
+"""Certify reduced-compute sampler configurations against the reference recipe.
+
+The reference serves NFE 32 / CFG 2.0 / sway −1.0, guidance on every step
+(``/root/reference/src/server/f5_tts/infer/utils_infer.py:49-52``). This
+harness measures, on a fixed prompt set with identical weights and noise, how
+far each efficiency knob's output drifts from that recipe, and anchors the
+numbers against the recipe's OWN Euler discretization error (its distance to
+an NFE-64 solve). Certification rule (recorded in BENCH.md): a knob whose
+deviation is at or below the NFE32→NFE64 distance is within the solver-error
+budget the reference recipe already accepts.
+
+Weights: ``--ckpt`` (torch/.npz/orbax) when available; otherwise random init
+at ``--geometry`` (the flow field is untrained but fixed and Lipschitz — knob
+deviations are still comparable against the discretization anchor), optionally
+``--toy-train N`` steps at tiny geometry on structured synthetic data so the
+field is a genuinely trained (smooth) one.
+
+Outputs a markdown table + QUALITY.json. Run on TPU for base geometry
+(each distinct config compiles its own program through the remote tunnel);
+tiny geometry runs anywhere.
+
+Usage:
+  python scripts/quality_harness.py --geometry tiny --toy-train 300
+  python scripts/quality_harness.py --geometry base --dtype bf16 \
+      --configs base,anchor64,cache4,nfe16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from f5tts_tpu.eval.quality import quality_report
+from f5tts_tpu.models.dit import DiTConfig, dit_forward, init_dit
+from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm, sample_noise_from_seeds
+
+TINY = DiTConfig(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+                 text_num_embeds=32, text_dim=32, conv_layers=2)
+
+CONFIGS: dict[str, SamplerConfig] = {
+    "base": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0),
+    "anchor64": SamplerConfig(steps=64, cfg_strength=2.0, sway_sampling_coef=-1.0),
+    "cache2": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_cache_period=2),
+    "cache4": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_cache_period=4),
+    "interval05": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_interval=(0.0, 0.5)),
+    "nfe16": SamplerConfig(steps=16, cfg_strength=2.0, sway_sampling_coef=-1.0),
+    "nfe16_cache2": SamplerConfig(steps=16, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_cache_period=2),
+    "cache2x": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                             cfg_cache_period=2, cfg_cache_mode="extrapolate"),
+    "cache4x": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                             cfg_cache_period=4, cfg_cache_mode="extrapolate"),
+    "nfe16_cache2x": SamplerConfig(steps=16, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                                   cfg_cache_period=2, cfg_cache_mode="extrapolate"),
+}
+
+
+def structured_toy_batch(rng, cfg: DiTConfig, batch: int, n: int, frames_per_token: int = 8):
+    """Synthetic text→mel data with a learnable mapping: each token id paints a
+    fixed spectral pattern over its frame span (plus small noise), so a few
+    hundred CFM steps produce a genuinely smooth trained flow field."""
+    patterns = np.random.default_rng(0).standard_normal((cfg.text_num_embeds, cfg.mel_dim)) * 0.8 - 1.0
+    nt = n // frames_per_token
+    text = rng.integers(0, cfg.text_num_embeds, (batch, nt)).astype(np.int32)
+    mel = patterns[text]  # (b, nt, mel)
+    mel = np.repeat(mel, frames_per_token, axis=1)[:, :n]
+    mel = mel + rng.standard_normal(mel.shape) * 0.05
+    lens = rng.integers(n // 2, n + 1, (batch,)).astype(np.int32)
+    return mel.astype(np.float32), text, lens
+
+
+def toy_train(params, cfg: DiTConfig, steps: int, batch: int = 8, n: int = 128):
+    import optax
+
+    from f5tts_tpu.models.cfm import CFMConfig, cfm_loss
+
+    ccfg = CFMConfig(model=cfg)
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(1)
+
+    @jax.jit
+    def step(params, opt_state, key, mel, text, lens):
+        (loss, _), grads = jax.value_and_grad(cfm_loss, has_aux=True)(params, ccfg, key, mel, text, lens)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(0)
+    for i in range(steps):
+        mel, text, lens = structured_toy_batch(rng, cfg, batch, n)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub,
+                                       jnp.asarray(mel), jnp.asarray(text), jnp.asarray(lens))
+        if i % 50 == 0 or i == steps - 1:
+            print(f"  toy-train step {i}: loss {float(loss):.4f}", flush=True)
+    return params
+
+
+def build_prompts(cfg: DiTConfig, k: int, bucket: int, cond_frames: int, seed: int = 7):
+    """Fixed prompt set: synthetic reference mels (smooth harmonics, not white
+    noise), text ids, spread of durations filling [60%, 100%] of the bucket."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(cond_frames)[:, None] / 93.75
+    freqs = rng.uniform(0.5, 4.0, (k, 1, cfg.mel_dim))
+    phase = rng.uniform(0, 2 * np.pi, (k, 1, cfg.mel_dim))
+    cond_valid = np.sin(2 * np.pi * freqs * t[None] + phase) * 0.7 - 1.5
+    cond = np.zeros((k, bucket, cfg.mel_dim), np.float32)
+    cond[:, :cond_frames] = cond_valid
+    durations = np.linspace(0.6 * bucket, bucket, k).astype(np.int32)
+    nt = int(0.12 * bucket)
+    text = rng.integers(0, cfg.text_num_embeds, (k, nt)).astype(np.int32)
+    for r in range(k):  # vary text lengths
+        cut = int(nt * (0.5 + 0.5 * r / max(k - 1, 1)))
+        text[r, cut:] = -1
+    seeds = np.arange(1000, 1000 + k, dtype=np.int32)
+    lens = np.full((k,), cond_frames, np.int32)
+    return cond, lens, text, durations, seeds
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--geometry", default="tiny", choices=["tiny", "small", "base"])
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--toy-train", type=int, default=0)
+    p.add_argument("--prompts", type=int, default=6)
+    p.add_argument("--bucket", type=int, default=None)
+    p.add_argument("--cond-frames", type=int, default=None)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--attn", default=None, choices=[None, "xla", "flash"])
+    p.add_argument("--configs", default=",".join(CONFIGS))
+    p.add_argument("--out", default="QUALITY.json")
+    args = p.parse_args()
+
+    if args.geometry == "tiny":
+        cfg = TINY
+        bucket = args.bucket or 128
+        cond_frames = args.cond_frames or 24
+    else:
+        cfg = DiTConfig.base() if args.geometry == "base" else DiTConfig.small()
+        bucket = args.bucket or 1024
+        cond_frames = args.cond_frames or 128
+    if args.attn:
+        from dataclasses import replace
+
+        cfg = replace(cfg, attn_impl=args.attn)
+
+    if args.ckpt:
+        from f5tts_tpu.models.convert import load_f5_checkpoint
+
+        params = load_f5_checkpoint(args.ckpt, cfg)
+        weights = f"ckpt:{args.ckpt}"
+    else:
+        params = init_dit(jax.random.PRNGKey(0), cfg)
+        weights = "random-init"
+        if args.toy_train:
+            print(f"toy-training {args.toy_train} steps at {args.geometry} geometry...")
+            params = toy_train(params, cfg, args.toy_train)
+            weights = f"toy-trained:{args.toy_train}"
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cond, lens, text, durations, seeds = build_prompts(cfg, args.prompts, bucket, cond_frames)
+    gen_mask = (np.arange(bucket)[None, :] >= lens[:, None]) & (np.arange(bucket)[None, :] < durations[:, None])
+
+    y0 = sample_noise_from_seeds(jnp.asarray(seeds), bucket, cfg.mel_dim, jnp.asarray(durations), dtype)
+
+    def solve(sampler: SamplerConfig):
+        t0 = time.time()
+        out = sample_cfm(
+            params, cfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
+            text=jnp.asarray(text), duration=jnp.asarray(durations),
+            sampler=sampler, y0=y0, compute_dtype=dtype,
+        )
+        out = np.asarray(out, np.float32)  # forces host fetch (tunnel-safe timing)
+        return out, time.time() - t0
+
+    names = [n.strip() for n in args.configs.split(",") if n.strip()]
+    if "base" not in names:
+        names.insert(0, "base")
+    outputs = {}
+    for name in names:
+        outputs[name], dt = solve(CONFIGS[name])
+        print(f"solved {name:>14} in {dt:.1f}s (incl. compile)", flush=True)
+
+    base = outputs["base"]
+    anchor = outputs.get("anchor64")
+    anchor_l2 = quality_report(anchor, base, gen_mask)["mel_l2"] if anchor is not None else None
+
+    rows = []
+    for name in names:
+        if name == "base":
+            continue
+        rep = quality_report(outputs[name], base, gen_mask)
+        rep["name"] = name
+        if anchor_l2:
+            rep["vs_discretization"] = rep["mel_l2"] / anchor_l2
+            rep["certified"] = bool(rep["mel_l2"] <= anchor_l2 * (1.0 + 1e-9)) if name != "anchor64" else None
+        rows.append(rep)
+
+    header = f"quality harness — {args.geometry} / {weights} / {args.dtype} / bucket {bucket} / {args.prompts} prompts"
+    print("\n" + header)
+    print("| config | mel L2 | log-mel MAE | MCD (dB) | spec conv | ×discretization | certified |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        ratio = f"{r.get('vs_discretization', float('nan')):.2f}" if anchor_l2 else "—"
+        cert = {True: "YES", False: "no", None: "(anchor)"}.get(r.get("certified"), "—")
+        print(f"| {r['name']} | {r['mel_l2']:.4f} | {r['log_mel_mae']:.4f} | {r['mcd_db']:.3f} "
+              f"| {r['spectral_convergence']:.4f} | {ratio} | {cert} |")
+
+    result = {"header": header, "weights": weights, "geometry": args.geometry,
+              "anchor_mel_l2": anchor_l2, "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -90,26 +90,40 @@ def timestep_embedding(p, time):
     return linear(p["mlp2"], F.silu(linear(p["mlp1"], h)))
 
 
-def grn(gamma, beta, x):
-    gx = torch.norm(x, p=2, dim=1, keepdim=True)
+def grn(gamma, beta, x, mask=None):
+    sq = x.square()
+    if mask is not None:
+        sq = sq.masked_fill(~mask[..., None], 0.0)
+    gx = sq.sum(dim=1, keepdim=True).sqrt()
     nx = gx / (gx.mean(dim=-1, keepdim=True) + 1e-6)
     return t_(gamma) * (x * nx) + t_(beta) + x
 
 
-def convnext_v2_block(p, x):
+def convnext_v2_block(p, x, mask=None):
+    # mask semantics mirror f5tts_tpu.models.modules.convnext_v2_block: valid
+    # frames equal the reference's unpadded batch-1 computation at the row's
+    # length; padded frames zeroed (GRN's norm is global over positions)
+    if mask is not None:
+        x = x.masked_fill(~mask[..., None], 0.0)
     h = conv1d(p["dwconv"], x, groups=x.shape[-1], padding=3)
     h = layer_norm(h, p["norm_w"], p["norm_b"])
     h = linear(p["pw1"], h)
     h = F.gelu(h)
-    h = grn(p["grn_gamma"], p["grn_beta"], h)
+    h = grn(p["grn_gamma"], p["grn_beta"], h, mask)
     h = linear(p["pw2"], h)
-    return x + h
+    out = x + h
+    if mask is not None:
+        out = out.masked_fill(~mask[..., None], 0.0)
+    return out
 
 
 def conv_pos_embedding(p, x, mask=None):
+    # masked between the convs too: batch-1 (unpadded reference) equivalence
     if mask is not None:
         x = x.masked_fill(~mask[..., None], 0.0)
     y = mish(conv1d(p["conv1"], x, groups=16, padding=15))
+    if mask is not None:
+        y = y.masked_fill(~mask[..., None], 0.0)
     y = mish(conv1d(p["conv2"], y, groups=16, padding=15))
     if mask is not None:
         y = y.masked_fill(~mask[..., None], 0.0)
@@ -161,7 +175,7 @@ def dit_block(p, x, t_emb, heads, freqs=None, mask=None):
     return x + gate_mlp.unsqueeze(1) * feed_forward(p["ff"], norm)
 
 
-def text_embed(p, cfg, text, seq_len, drop_text=False):
+def text_embed(p, cfg, text, seq_len, drop_text=False, mask=None):
     text = text + 1
     text = text[:, :seq_len]
     text = F.pad(text, (0, seq_len - text.shape[1]), value=0)
@@ -173,7 +187,7 @@ def text_embed(p, cfg, text, seq_len, drop_text=False):
         h = h + table[:seq_len][None]
         n_blocks = p["blocks"]["pw1"]["w"].shape[0]
         for i in range(n_blocks):
-            h = convnext_v2_block(_index_tree(p["blocks"], i), h)
+            h = convnext_v2_block(_index_tree(p["blocks"], i), h, mask)
     return h
 
 
@@ -183,7 +197,7 @@ def dit_forward(params, cfg, x, cond, text, time, drop_audio_cond, drop_text, ma
     if time.ndim == 0:
         time = time.repeat(b)
     t_emb = timestep_embedding(params["time_embed"], time)
-    te = text_embed(params["text_embed"], cfg, text, n, drop_text)
+    te = text_embed(params["text_embed"], cfg, text, n, drop_text, mask)
     if drop_audio_cond:
         cond = torch.zeros_like(cond)
     h = linear(params["input_embed"]["proj"], torch.cat([x, cond, te], dim=-1))
@@ -217,7 +231,7 @@ def unett_forward(params, cfg, x, cond, text, time, drop_audio_cond, drop_text, 
     if time.ndim == 0:
         time = time.repeat(b)
     t_emb = timestep_embedding(params["time_embed"], time)
-    te = text_embed(params["text_embed"], cfg, text, n, drop_text)
+    te = text_embed(params["text_embed"], cfg, text, n, drop_text, mask)
     if drop_audio_cond:
         cond = torch.zeros_like(cond)
     h = linear(params["input_embed"]["proj"], torch.cat([x, cond, te], dim=-1))
