@@ -65,6 +65,7 @@ def load_config(args):
     args.voices = {}
     if not args.config:
         return args
+    import os
     import tomllib
 
     with open(args.config, "rb") as f:
@@ -74,6 +75,23 @@ def load_config(args):
         k = k.replace("-", "_")
         if hasattr(args, k) and parser_default(k) == getattr(args, k):
             setattr(args, k, v)
+
+    # resolve relative asset paths against the toml's directory so the
+    # committed quickstart (`--config examples/basic.toml`) works from any cwd
+    base = os.path.dirname(os.path.abspath(args.config))
+
+    def resolve(p):
+        if p and not os.path.isabs(p) and not os.path.exists(p):
+            cand = os.path.join(base, p)
+            if os.path.exists(cand):
+                return cand
+        return p
+
+    for k in ("ckpt_file", "vocab_file", "vocoder_ckpt", "ref_audio", "gen_file"):
+        setattr(args, k, resolve(getattr(args, k, None)))
+    for spec in args.voices.values():
+        if "ref_audio" in spec:
+            spec["ref_audio"] = resolve(spec["ref_audio"])
     return args
 
 
@@ -104,12 +122,16 @@ def build_engine(args):
     mel_flavor = "bigvgan" if use_bigvgan else "vocos"  # paired mel front-end (utils_infer.py:92-130)
     if args.demo_tiny:
         mel_cfg = MelConfig(n_mels=20, flavor=mel_flavor)
+        # honor --vocab-file (e.g. the bundled multi-script examples/vocab.txt)
+        # so Indic text exercises real token ids instead of collapsing to unk
+        tok = (Tokenizer.from_file(args.vocab_file) if args.vocab_file
+               else Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}}))
         dit_cfg = DiTConfig(
             dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
-            text_num_embeds=256, text_dim=32, conv_layers=1, max_pos=1024, attn_impl=args.attn,
+            text_num_embeds=tok.vocab_size if args.vocab_file else 256,
+            text_dim=32, conv_layers=1, max_pos=1024, attn_impl=args.attn,
         )
         voc_cfg = VocosConfig(input_channels=20, dim=48, intermediate_dim=96, num_layers=2)
-        tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
         dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
         if use_bigvgan:
             from f5tts_tpu.models.bigvgan import BigVGANConfig, init_bigvgan

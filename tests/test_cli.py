@@ -119,3 +119,18 @@ def test_infer_cli_bigvgan_vocoder(tmp_path):
                 "-t", "bigvgan demo.", "-o", out])
     wav, sr = read_wav(out)
     assert sr == 24000 and len(wav) > 0
+
+
+def test_quickstart_basic_toml_as_committed(tmp_path, monkeypatch):
+    """VERDICT #8: `--config examples/basic.toml` must run in a fresh clone
+    with no /models — demo-tiny mode, bundled vocab.txt + demo voice wav,
+    relative paths resolved against the toml's directory (any cwd)."""
+    from f5tts_tpu.cli import infer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(tmp_path)  # NOT the repo root — paths must still resolve
+    out = str(tmp_path / "quickstart.wav")
+    infer.main(["--config", os.path.join(repo, "examples", "basic.toml"),
+                "--nfe", "2", "-o", out])
+    wav, sr = read_wav(out)
+    assert sr == 24000 and len(wav) > 1000 and np.all(np.isfinite(wav))
