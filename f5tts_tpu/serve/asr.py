@@ -41,10 +41,14 @@ def transcribe_bytes(audio_bytes: bytes, language: str | None = None) -> str:
     key = hashlib.md5(audio_bytes).hexdigest()
     if key in _ref_text_cache:
         return _ref_text_cache[key]
-    kwargs = {"task": "transcribe"}
-    if language:
-        kwargs["language"] = language
-    out = _pipeline()({"array": wav, "sampling_rate": sr}, generate_kwargs=kwargs, return_timestamps=False)
+    pipe = _pipeline()
+    kwargs = {}
+    if getattr(pipe, "type", "").startswith("seq2seq"):  # whisper-style models
+        gen = {"task": "transcribe"}
+        if language:
+            gen["language"] = language
+        kwargs = {"generate_kwargs": gen, "return_timestamps": False}
+    out = pipe({"array": wav, "sampling_rate": sr}, **kwargs)
     text = out["text"].strip()
     _ref_text_cache[key] = text
     return text

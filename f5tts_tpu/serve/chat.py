@@ -35,21 +35,53 @@ def _llm_pipeline():
     return _llm
 
 
-def _translate_pipeline():
+def _translate_components():
     global _translator
     if _translator is None:
         _require_local(TRANSLATE_MODEL, "F5TPU_TRANSLATE_MODEL")
-        from transformers import pipeline
+        from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
 
-        _translator = pipeline("translation", model=TRANSLATE_MODEL, device="cpu")
+        tok = AutoTokenizer.from_pretrained(TRANSLATE_MODEL)
+        model = AutoModelForSeq2SeqLM.from_pretrained(TRANSLATE_MODEL)
+        model.eval()
+        _translator = (tok, model)
     return _translator
 
 
-def translate(sentences: list[str], src_lang: str, tgt_lang: str) -> list[str]:
-    """IndicTrans2-style batch translation (``routes/translate.py:10-75``)."""
-    pipe = _translate_pipeline()
-    out = pipe(sentences, src_lang=src_lang, tgt_lang=tgt_lang)
-    return [o["translation_text"] for o in out]
+def preprocess_batch(sentences: list[str], src_lang: str, tgt_lang: str) -> list[str]:
+    """IndicProcessor.preprocess_batch contract (``routes/translate.py:30-31``):
+    the normalized sentence prefixed with its ``src_lang tgt_lang`` FLORES tag
+    tokens — how IndicTrans2-family checkpoints encode the language pair.
+    (Script normalization/transliteration is the checkpoint tokenizer's job.)
+    """
+    return [f"{src_lang} {tgt_lang} {s.strip()}" for s in sentences]
+
+
+def postprocess_batch(texts: list[str], lang: str) -> list[str]:
+    """IndicProcessor.postprocess_batch contract (``routes/translate.py:75``)."""
+    return [t.strip() for t in texts]
+
+
+def translate(sentences: list[str], src_lang: str, tgt_lang: str,
+              max_length: int = 256, num_beams: int = 5) -> list[str]:
+    """IndicTrans2-contract batch translation (``routes/translate.py:29-76``):
+    preprocess (tag prefix) -> tokenize padding=longest -> beam-5 generate
+    max_length 256 -> batch_decode skip-special -> postprocess."""
+    import torch
+
+    tok, model = _translate_components()
+    batch = preprocess_batch(sentences, src_lang, tgt_lang)
+    inputs = tok(batch, truncation=True, padding="longest",
+                 return_tensors="pt", return_attention_mask=True)
+    inputs.pop("token_type_ids", None)  # emitted by some fast tokenizers; seq2seq generate rejects it
+    with torch.no_grad():
+        generated = model.generate(
+            **inputs, use_cache=True, min_length=0, max_length=max_length,
+            num_beams=num_beams, num_return_sequences=1,
+        )
+    texts = tok.batch_decode(generated, skip_special_tokens=True,
+                             clean_up_tokenization_spaces=True)
+    return postprocess_batch(texts, tgt_lang)
 
 
 def indic_chat(prompt: str, language: str, max_new_tokens: int = 256) -> str:
@@ -59,6 +91,8 @@ def indic_chat(prompt: str, language: str, max_new_tokens: int = 256) -> str:
     """
     is_english = language.startswith("eng")
     en_prompt = prompt if is_english else translate([prompt], language, "eng_Latn")[0]
+    if not en_prompt.strip():  # empty translation would crash generation
+        en_prompt = prompt
     llm = _llm_pipeline()
     reply = llm(en_prompt, max_new_tokens=max_new_tokens, return_full_text=False)[0]["generated_text"].strip()
     if is_english:

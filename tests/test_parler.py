@@ -454,3 +454,81 @@ def test_parler_loss_default_pad_exclusion():
                                    pad_token=-1))
     assert default == explicit
     assert default != disabled  # pad targets were being trained when disabled
+
+
+def test_parler_generate_end_to_end_vs_hf_generate():
+    """VERDICT #7: one golden pinning the WHOLE AR loop against HF's own
+    ``.generate`` machinery — tiny MusicgenForConditionalGeneration
+    (T5 text encoder -> enc_to_dec_proj -> delay-pattern codebook decoder),
+    greedy, text ids in -> audio codes out. HF's generate builds its delay
+    mask, runs its incremental loop and reverts the pattern internally (codes
+    captured at the audio_encoder.decode boundary); ours runs t5_encode +
+    parler_generate on the converted weights. Combined with the DAC decode
+    goldens above, this pins description -> waveform end-to-end.
+    (The decoder-prompt path is ParlerTTS-specific — no HF class in this
+    image implements it — and is covered by the replay/row-isolation tests.)"""
+    from types import SimpleNamespace
+
+    from transformers import EncodecConfig
+    from transformers import T5Config as HFT5Config
+    from transformers.models.musicgen.configuration_musicgen import (
+        MusicgenConfig,
+        MusicgenDecoderConfig,
+    )
+    from transformers.models.musicgen.modeling_musicgen import MusicgenForConditionalGeneration
+
+    _seed()
+    dec_hf = MusicgenDecoderConfig(
+        vocab_size=40, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        ffn_dim=64, num_codebooks=3, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, max_position_embeddings=256, audio_channels=1,
+        scale_embedding=False, activation_function="gelu",
+        pad_token_id=40, bos_token_id=40, eos_token_id=None,
+    )
+    t5_hf = HFT5Config(vocab_size=50, d_model=24, d_kv=8, d_ff=48, num_layers=2,
+                       num_heads=3, relative_attention_num_buckets=8,
+                       relative_attention_max_distance=20, feed_forward_proj="gated-gelu",
+                       dropout_rate=0.0, use_cache=False)
+    enc_hf = EncodecConfig(hidden_size=16, num_filters=4, num_residual_layers=1,
+                           codebook_size=64, codebook_dim=16, upsampling_ratios=[4, 4],
+                           audio_channels=1)
+    model = MusicgenForConditionalGeneration(
+        MusicgenConfig.from_sub_models_config(t5_hf, enc_hf, dec_hf)).eval()
+
+    b, nt, frames, K = 2, 7, 5, 3
+    ids = np.random.randint(2, 50, (b, nt)).astype(np.int64)
+    mask = np.ones((b, nt), bool)
+    mask[1, 5:] = False
+    ids[~mask] = 0
+
+    captured = {}
+
+    def fake_decode(audio_codes, *a, **k):
+        captured["codes"] = audio_codes.detach().clone()
+        return SimpleNamespace(audio_values=torch.zeros(audio_codes.shape[1], 1, 10))
+
+    model.audio_encoder.decode = fake_decode
+    with torch.no_grad():
+        model.generate(input_ids=torch.from_numpy(ids),
+                       attention_mask=torch.from_numpy(mask).long(),
+                       do_sample=False, max_new_tokens=frames + K - 1, guidance_scale=1.0)
+    want = captured["codes"].numpy()[0]  # (b, K, frames)
+    assert want.shape == (b, K, frames)
+
+    sd = model.state_dict()
+    t5_cfg = P.T5Config(vocab=50, d_model=24, d_kv=8, d_ff=48, heads=3, layers=2,
+                        rel_buckets=8, rel_max_dist=20)
+    dec_cfg = P.ParlerDecoderConfig(vocab=40, codebooks=3, hidden=32, layers=2,
+                                    heads=4, ffn=64, cross_dim=24, prompt_vocab=1)
+    t5_params = P.convert_t5_encoder(sd, t5_cfg, prefix="text_encoder.")
+    dec_params = P.convert_parler_decoder(
+        sd, dec_cfg, prefix="decoder.model.decoder.", lm_prefix="decoder.lm_heads.",
+        enc_proj_prefix="enc_to_dec_proj")
+
+    enc = P.t5_encode(t5_params, t5_cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask))
+    codes, lengths = P.parler_generate(
+        dec_params, dec_cfg, enc, jnp.asarray(mask), frames, jax.random.PRNGKey(0),
+        temperature=0.0, eos_token=-1)
+    codes = np.asarray(codes)
+    assert np.all(np.asarray(lengths) == frames)
+    np.testing.assert_array_equal(codes, want)
