@@ -48,7 +48,9 @@ def main():
     iv = os.environ.get("BENCH_CFG_INTERVAL")  # "lo,hi" guidance interval
     interval = parse_cfg_interval(iv) if iv else (0.0, 1.0)
     cache = int(os.environ.get("BENCH_CFG_CACHE", 1))  # null-branch refresh period
-    sampler = SamplerConfig(steps=nfe, cfg_interval=interval, cfg_cache_period=cache)
+    cache_mode = os.environ.get("BENCH_CFG_CACHE_MODE", "hold")  # hold | extrapolate
+    sampler = SamplerConfig(steps=nfe, cfg_interval=interval, cfg_cache_period=cache,
+                            cfg_cache_mode=cache_mode)
     cfg = EngineConfig(
         duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
         compute_dtype="bfloat16", quantization=quant, sampler=sampler,
@@ -76,6 +78,37 @@ def main():
         checksum = run_once()
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(checksum)
+
+    if os.environ.get("BENCH_PARITY") == "1":
+        # numerical guard (opt-in: costs two extra small compiles): the benched
+        # serving path (bf16 + flash + fused conv-pos) must agree with the
+        # f32/XLA-everything path at small shapes — a perf change that silently
+        # breaks numerics fails here instead of posting a number.
+        from f5tts_tpu.eval.quality import mel_l2
+        from f5tts_tpu.sampling.euler import sample_cfm
+
+        pb, pn, pref = 2, 256, 64
+        pcond = jnp.asarray(rng.standard_normal((pb, pn, 100)), jnp.float32)
+        plens = jnp.full((pb,), pref, jnp.int32)
+        ptext = jnp.asarray(rng.integers(0, 90, (pb, 48)), jnp.int32)
+        pdur = jnp.full((pb,), pn, jnp.int32)
+        pseeds = jnp.arange(pb, dtype=jnp.int32)
+        psampler = SamplerConfig(steps=4, cfg_strength=2.0)
+        outs = {}
+        for name, a_impl, cp_impl, dtype in (
+            ("serving", attn_impl, "fused", jnp.bfloat16),  # engine default on-chip
+            ("referencepath", "xla", "xla", jnp.float32),
+        ):
+            pcfg = DiTConfig(**{**dit_cfg.__dict__, "attn_impl": a_impl, "conv_pos_impl": cp_impl})
+            outs[name] = np.asarray(jax.jit(
+                lambda c, cl, t, d, s, _pc=pcfg, _dt=dtype: sample_cfm(
+                    dit_params, _pc, cond=c, cond_lens=cl, text=t, duration=d,
+                    sampler=psampler, seeds=s, compute_dtype=_dt)
+            )(pcond, plens, ptext, pdur, pseeds), np.float32)
+        gen_mask = np.broadcast_to((np.arange(pn) >= pref)[None], (pb, pn))
+        parity = mel_l2(outs["serving"], outs["referencepath"], gen_mask)
+        print(f"parity mel_l2 (bf16+kernels vs f32+xla, 4 steps): {parity:.4f}", file=sys.stderr)
+        assert parity < 0.5, f"serving path diverged from reference path: mel_l2={parity}"
 
     frames_per_second_of_audio = 24000 / 256  # 93.75
     audio_seconds = batch * (n_frames - ref_frames) / frames_per_second_of_audio

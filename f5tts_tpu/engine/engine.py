@@ -81,15 +81,23 @@ class RequestPlan:
 
 @dataclass
 class RowSpec:
-    """One utterance-chunk to synthesize: its own reference voice + duration."""
+    """One utterance-chunk to synthesize: its own reference voice + duration.
 
-    text: str  # ref_text + gen chunk
+    With ``edit_mask`` set, the row is a speech-EDIT row (``cfm.py:130-131``
+    infill semantics): ``cond_mel`` is the full edited utterance
+    (``ref_frames == duration`` frames), ``edit_mask`` marks frames to keep
+    verbatim (False = regenerate), and the result covers the WHOLE utterance
+    from frame 0 instead of the generated tail. Edit rows co-batch with
+    synthesis rows in the same duration bucket (``synthesize_rows``)."""
+
+    text: str  # ref_text + gen chunk (edit rows: the full target text)
     cond_mel: np.ndarray  # (ref_frames, n_mels)
     ref_frames: int
     duration: int  # total frames incl. ref
     steps: int = 32
     cfg_strength: float = 2.0
     seed: int | None = None
+    edit_mask: np.ndarray | None = None  # (duration,) bool; None = synthesis row
 
 
 class TTSEngine:
@@ -204,10 +212,15 @@ class TTSEngine:
         self._compiled_cache[key] = jax.jit(fn)
         return self._compiled_cache[key]
 
-    def _compiled_edit(self, n: int, steps: int, cfg_strength: float):
-        """Speech-edit path: batch-1, edit-mask conditioned, decodes the FULL
-        utterance (not just the generated tail)."""
-        key = (n, steps, cfg_strength)
+    def _compiled_edit(self, n: int, b: int, steps: int, cfg_strength: float):
+        """Edit-capable batched program: the synthesis program plus an
+        ``edit_mask`` (infill conditioning, ``cfm.py:130-131``) and a per-row
+        ``out_start`` (0 for edit rows -> full utterance; ``cond_lens`` for
+        synthesis rows -> generated tail), so edit and synthesis rows share
+        ONE batched solve. Compiled per (bucket, batch, steps, cfg) like the
+        plain program; the plain program stays separate so pure-synthesis
+        traffic carries no edit inputs."""
+        key = (n, b, steps, cfg_strength)
         if key in self._edit_cache:
             return self._edit_cache[key]
         sampler = SamplerConfig(
@@ -218,16 +231,19 @@ class TTSEngine:
             cfg_cache_period=self.cfg.sampler.cfg_cache_period,
         )
 
-        def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, seeds):
+        def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, out_start, seeds):
             mel_out = sample_cfm(
                 dit_params, self.dit_cfg,
                 cond=cond, cond_lens=cond_lens, text=text, duration=duration,
                 sampler=sampler, seeds=seeds, edit_mask=edit_mask, compute_dtype=self.compute_dtype,
                 forward_fn=self.forward_fn, embed_fn=self.embed_fn,
             )
-            mel_masked = jnp.where(jnp.arange(n)[None, :, None] < duration[:, None, None], mel_out, 0.0)
-            wave = self._decode(vocos_params, mel_masked)
-            return mel_out.astype(jnp.float32), wave
+            idx = (jnp.arange(n)[None, :] + out_start[:, None]) % n
+            gen = jnp.take_along_axis(mel_out, idx[..., None], axis=1)
+            gen_len = duration - out_start
+            gen = jnp.where(jnp.arange(n)[None, :, None] < gen_len[:, None, None], gen, 0.0)
+            wave = self._decode(vocos_params, gen)
+            return gen.astype(jnp.float32), wave
 
         self._edit_cache[key] = jax.jit(fn)
         return self._edit_cache[key]
@@ -253,6 +269,28 @@ class TTSEngine:
         the resized ``audio_`` is dead code) — this uses the resized signal, so
         ``fix_durations`` actually changes span lengths.
         """
+        row, rms = self.prepare_edit_row(
+            audio, sr, target_text, parts_to_edit, fix_durations,
+            steps=steps, cfg_strength=cfg_strength, seed=seed,
+        )
+        wave, gen_mel = self.synthesize_rows([row])[0]
+        return self.finalize_edit(row, rms, wave, gen_mel)
+
+    def prepare_edit_row(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        target_text: str,
+        parts_to_edit: list[tuple[float, float]],
+        fix_durations: list[float] | None = None,
+        *,
+        steps: int | None = None,
+        cfg_strength: float | None = None,
+        seed: int | None = None,
+    ) -> tuple[RowSpec, float]:
+        """Host-side edit preprocessing -> a batchable ``RowSpec`` (+ the
+        original RMS for ``finalize_edit``). The row rides the continuous
+        batcher like any synthesis chunk."""
         cfg = self.cfg
         hop = cfg.mel.hop_length
         steps = steps if steps is not None else cfg.sampler.steps
@@ -284,26 +322,20 @@ class TTSEngine:
 
         nb = _bucket(min(n_frames, cfg.max_duration), cfg.duration_buckets)
         n_frames = min(n_frames, nb)  # max_duration clamp (cfm.py:137)
-        edit_mask = edit_mask[:n_frames]
         cond_mel = _ref_mel(edited, cfg.mel)[:n_frames]
-
-        cond = np.zeros((1, nb, cfg.mel.n_mels), np.float32)
-        cond[0, :n_frames] = cond_mel
-        em = np.zeros((1, nb), bool)
-        em[0, :n_frames] = edit_mask
-        text_ids = self.tokenizer.encode([target_text], pad_to=self.cfg.text_pad)
-        seeds = np.asarray([seed if seed is not None else self._host_rng.integers(2**31 - 1)], np.int32)
-
-        fn = self._compiled_edit(nb, steps, guidance)
-        mel_out, wave = fn(
-            self.dit_params, self.vocos_params,
-            jnp.asarray(cond), jnp.asarray([n_frames], jnp.int32), jnp.asarray(text_ids),
-            jnp.asarray([n_frames], jnp.int32), jnp.asarray(em), jnp.asarray(seeds),
+        row = RowSpec(
+            text=target_text, cond_mel=cond_mel, ref_frames=n_frames,
+            duration=n_frames, steps=steps, cfg_strength=guidance,
+            seed=seed if seed is not None else int(self._host_rng.integers(2**31 - 1)),
+            edit_mask=edit_mask[:n_frames],
         )
-        wave = np.asarray(wave, np.float32)[0, : self._wave_samples(n_frames)]
-        if rms < cfg.target_rms:
-            wave = wave * rms / cfg.target_rms
-        return wave, TARGET_SR, np.asarray(mel_out, np.float32)[0, :n_frames]
+        return row, rms
+
+    def finalize_edit(self, row: RowSpec, rms: float, wave: np.ndarray,
+                      gen_mel: np.ndarray) -> tuple[np.ndarray, int, np.ndarray]:
+        if rms < self.cfg.target_rms:
+            wave = wave * rms / self.cfg.target_rms
+        return wave, TARGET_SR, gen_mel
 
     def warmup(self, buckets: list[tuple[int, int]] | None = None, steps: int | None = None,
                cfg_strength: float | None = None) -> None:
@@ -509,6 +541,7 @@ class TTSEngine:
                 sub = idxs[start : start + cfg.batch_buckets[-1]]
                 bb = _bucket(len(sub), cfg.batch_buckets)
                 pad_rows = bb - len(sub)
+                has_edit = any(rows[i].edit_mask is not None for i in sub)
 
                 text_ids = self.tokenizer.encode([rows[i].text for i in sub], pad_to=self.cfg.text_pad)
                 if pad_rows:
@@ -516,12 +549,19 @@ class TTSEngine:
                 cond = np.zeros((bb, nb, cfg.mel.n_mels), np.float32)
                 cond_lens = np.empty((bb,), np.int32)
                 dur = np.empty((bb,), np.int32)
+                out_start = np.empty((bb,), np.int32)
+                em = np.ones((bb, nb), bool)
                 for row, i in enumerate(sub):
                     r = rows[i]
                     rf = min(r.ref_frames, nb)
                     cond[row, :rf] = r.cond_mel[:rf]
                     cond_lens[row] = rf
                     dur[row] = min(r.duration, nb)
+                    if r.edit_mask is None:
+                        out_start[row] = rf  # synthesis: return the generated tail
+                    else:
+                        out_start[row] = 0  # edit: return the whole utterance
+                        em[row, : min(len(r.edit_mask), nb)] = r.edit_mask[:nb]
                 seeds = np.empty((bb,), np.int32)
                 for row, i in enumerate(sub):
                     seeds[row] = rows[i].seed if rows[i].seed is not None else self._host_rng.integers(2**31 - 1)
@@ -530,18 +570,27 @@ class TTSEngine:
                     cond_lens[len(sub) :] = cond_lens[0]
                     dur[len(sub) :] = dur[0]
                     seeds[len(sub) :] = seeds[0]
+                    out_start[len(sub) :] = out_start[0]
+                    em[len(sub) :] = em[0]
 
-                fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
+                if has_edit:
+                    # edit rows co-batch with synthesis rows: same solve, the
+                    # synthesis rows just carry trivial (all-True) edit masks
+                    fn = self._compiled_edit(nb, bb, steps, guidance)
+                    args = (jnp.asarray(em), jnp.asarray(out_start), jnp.asarray(seeds))
+                else:
+                    fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
+                    args = (jnp.asarray(seeds),)
                 with GLOBAL_TIMER.stage(f"sample_decode_n{nb}_b{bb}"):
                     gen_mel, wave = fn(
                         self.dit_params, self.vocos_params,
                         jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
-                        jnp.asarray(seeds),
+                        *args,
                     )
                     jax.block_until_ready(wave)
                 gen_mel = np.asarray(gen_mel, np.float32)
                 wave = np.asarray(wave, np.float32)
                 for row, i in enumerate(sub):
-                    gen_len = int(dur[row]) - int(cond_lens[row])
+                    gen_len = int(dur[row]) - int(out_start[row])
                     results[i] = (wave[row, : self._wave_samples(gen_len)], gen_mel[row, :gen_len])
         return results  # type: ignore[return-value]

@@ -78,7 +78,8 @@ def _conv_pos_kernel(x_ref, l_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, y1_ref
     pad = k // 2
     cg = w1_ref.shape[-1]
     phases = tap_phases(k, phase)
-    row_len = l_ref[0]  # valid prefix length of this batch row (n = unmasked)
+    # lens rides whole in SMEM (Mosaic rejects size-1 blocks); pick this row's
+    row_len = l_ref[pl.program_id(0), 0]
 
     def conv_tiles(read_tile, w_ref, b_ref, write_tile, mask_rows: bool):
         """read_tile(lo, hi) returns padded rows [lo, hi) of (., m*cg) input."""
@@ -168,7 +169,8 @@ def conv_pos_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n, m * cg), lambda bi, g: (bi, 0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda bi, g: (bi,), memory_space=pltpu.SMEM),
+            # whole (b, 1) lens array in SMEM; the kernel indexes by program_id
+            pl.BlockSpec((b, 1), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m, kcg, cg), lambda bi, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, 1, cg), lambda bi, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, kcg, cg), lambda bi, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -178,5 +180,5 @@ def conv_pos_pallas(
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((n + 2 * pad, m * cg), x.dtype)],
         interpret=interpret,
-    )(x, lens.astype(jnp.int32), w1f, bg1, w2f, bg2)
+    )(x, lens.astype(jnp.int32).reshape(b, 1), w1f, bg1, w2f, bg2)
     return out

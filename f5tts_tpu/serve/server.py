@@ -650,11 +650,18 @@ def build_app(settings: Settings) -> web.Application:
         audio, sr = read_wav(upload.file.read())
 
         def run():
-            return service.engine.speech_edit(
+            # snapshot refs (see synthesize_sync); the edit row rides the
+            # continuous batcher so it co-batches with synthesis traffic
+            engine, batcher = service.engine, service.batcher
+            if engine is None or batcher is None:
+                raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+            row, rms = engine.prepare_edit_row(
                 audio, sr, target_text, parts, fixes,
                 steps=int(form.get("nfe_step", 32)), cfg_strength=float(form.get("cfg_strength", 2.0)),
                 seed=int(form["seed"]) if form.get("seed") else None,
             )
+            wave, gen_mel = batcher.submit(row).result(timeout=600)
+            return engine.finalize_edit(row, rms, wave, gen_mel)
 
         wave, out_sr, _ = await asyncio.get_running_loop().run_in_executor(None, run)
         return web.Response(body=wav_bytes(wave, out_sr), content_type="audio/wav")

@@ -81,21 +81,34 @@ def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=
             (loss, aux), grads = grads_of(state["params"], batch["mel"], batch["text"], batch["lens"], batch["key"])
         else:
             keys = jax.random.split(batch["key"], accum_steps)
+            # per-micro weights: 1 for real micro-batches, 0 for the empty pads
+            # a trailing partial group carries (group_micro_batches); grads,
+            # loss AND aux metrics are averaged over the REAL micro count
+            w = batch.get("micro_weight")
+            if w is None:
+                w = jnp.ones((accum_steps,), jnp.float32)
+            aux_shapes = jax.eval_shape(
+                lambda: grads_of(state["params"], batch["mel"][0], batch["text"][0],
+                                 batch["lens"][0], keys[0])[0][1])
+            zero_aux = jax.tree.map(lambda s: jnp.zeros((), jnp.float32), aux_shapes)
 
             def micro(carry, inp):
-                acc_grads, acc_loss = carry
-                mel, text, lens, key = inp
-                (loss, _aux), grads = grads_of(state["params"], mel, text, lens, key)
-                acc_grads = jax.tree.map(lambda a, g: a + g, acc_grads, grads)
-                return (acc_grads, acc_loss + loss), None
+                acc_grads, acc_loss, acc_aux = carry
+                mel, text, lens, key, wi = inp
+                (loss, aux_i), grads = grads_of(state["params"], mel, text, lens, key)
+                acc_grads = jax.tree.map(lambda a, g: a + wi * g, acc_grads, grads)
+                acc_aux = jax.tree.map(lambda a, x: a + wi * x.astype(jnp.float32), acc_aux, aux_i)
+                return (acc_grads, acc_loss + wi * loss, acc_aux), None
 
             zero = jax.tree.map(jnp.zeros_like, state["params"])
-            (grads, loss_sum), _ = jax.lax.scan(
-                micro, (zero, 0.0), (batch["mel"], batch["text"], batch["lens"], keys)
+            (grads, loss_sum, aux_sum), _ = jax.lax.scan(
+                micro, (zero, 0.0, zero_aux),
+                (batch["mel"], batch["text"], batch["lens"], keys, w),
             )
-            grads = jax.tree.map(lambda g: g / accum_steps, grads)
-            loss = loss_sum / accum_steps
-            aux = {}
+            wsum = jnp.maximum(jnp.sum(w), 1.0)
+            grads = jax.tree.map(lambda g: g / wsum, grads)
+            loss = loss_sum / wsum
+            aux = jax.tree.map(lambda x: x / wsum, aux_sum)
 
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
@@ -113,16 +126,25 @@ def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=
 def group_micro_batches(batches, accum: int):
     """Stack ``accum`` consecutive micro-batches along a leading axis, padding
     each to the group's max (rows, frames, text) — padded rows carry lens=0 so
-    they select no loss frames. Trailing leftover micro-batches are dropped."""
+    they select no loss frames. A trailing partial group is NOT dropped: it is
+    padded with empty (weight-0) micro-batches and carries a ``micro_weight``
+    vector so the step averages grads/loss/metrics over the real micro count
+    (the reference's Accelerate accumulation never drops data either)."""
     group = []
-    for b in batches:
-        group.append(b)
-        if len(group) < accum:
-            continue
+
+    def emit(group):
+        real = len(group)
+        if real < accum:  # pad with empty micro-batches (lens=0 -> zero loss)
+            empty = {
+                "mel": group[0]["mel"][:1] * 0.0,
+                "text": np.full_like(group[0]["text"][:1], -1),
+                "lens": np.zeros_like(group[0]["lens"][:1]),
+            }
+            group = group + [empty] * (accum - real)
         mb = max(x["mel"].shape[0] for x in group)
         mn = max(x["mel"].shape[1] for x in group)
         mt = max(x["text"].shape[1] for x in group)
-        yield {
+        return {
             "mel": np.stack([
                 np.pad(x["mel"], ((0, mb - x["mel"].shape[0]), (0, mn - x["mel"].shape[1]), (0, 0)))
                 for x in group
@@ -135,8 +157,16 @@ def group_micro_batches(batches, accum: int):
             "lens": np.stack([
                 np.pad(x["lens"], (0, mb - x["lens"].shape[0])) for x in group
             ]),
+            "micro_weight": (np.arange(accum) < real).astype(np.float32),
         }
-        group = []
+
+    for b in batches:
+        group.append(b)
+        if len(group) == accum:
+            yield emit(group)
+            group = []
+    if group:
+        yield emit(group)
 
 
 def init_train_state(key, model_cfg: CFMConfig, train_cfg: TrainConfig):
@@ -241,6 +271,8 @@ class Trainer:
             data_sh = NamedSharding(self.mesh, rows)
             scalar_sh = NamedSharding(self.mesh, P())
             batch_sh = {"mel": data_sh, "text": data_sh, "lens": data_sh, "key": scalar_sh}
+            if self.train_cfg.max_grad_accum > 1:
+                batch_sh["micro_weight"] = scalar_sh
             self._step_fn = jax.jit(
                 step, in_shardings=(self._shardings, batch_sh), out_shardings=(self._shardings, None),
                 donate_argnums=0,
@@ -278,6 +310,8 @@ class Trainer:
                 "lens": jnp.asarray(batch["lens"]),
                 "key": sub,
             }
+            if "micro_weight" in batch:
+                device_batch["micro_weight"] = jnp.asarray(batch["micro_weight"])
             state, metrics = self._step_fn(state, device_batch)
             frames_done += int(np.sum(batch["lens"]))
             step_no = base_step + i + 1

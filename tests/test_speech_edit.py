@@ -68,3 +68,48 @@ def test_engine_speech_edit_end_to_end():
         audio, 24000, "some call me optimist.", [(0.5, 1.0)], [1.5], seed=5,
     )
     assert len(wave2) > len(wave)
+
+
+def test_edit_rows_cobatch_with_synthesis_rows():
+    """VERDICT #10: an edit row and synthesis rows share ONE batched solve,
+    and each row's output is identical to running it alone (composition
+    invariance — per-row seeds + masked embeds keep rows isolated)."""
+    from f5tts_tpu.engine.engine import RowSpec
+
+    mel_cfg = MelConfig(n_mels=20)
+    voc_cfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=2)
+    engine = TTSEngine(
+        init_dit(jax.random.PRNGKey(0), TINY), TINY,
+        init_vocos(jax.random.PRNGKey(1), voc_cfg),
+        Tokenizer.from_texts(["some call me nature others call me optimist."]),
+        EngineConfig(
+            mel=mel_cfg, vocoder=voc_cfg, sampler=SamplerConfig(steps=2),
+            duration_buckets=(256,), batch_buckets=(1, 2, 4), text_pad=64,
+            compute_dtype="float32",
+        ),
+    )
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(24000 * 2) * 0.1).astype(np.float32)
+    edit_row, rms = engine.prepare_edit_row(
+        audio, 24000, "some call me optimist.", [(0.5, 1.0)], seed=5)
+
+    ref_mel = np.asarray(
+        log_mel_spectrogram(jnp.asarray(audio[None, : 24000 // 2]), mel_cfg))[0]
+    synth_rows = [
+        RowSpec(text="others call me nature.", cond_mel=ref_mel,
+                ref_frames=ref_mel.shape[0], duration=200, steps=2, seed=11),
+        RowSpec(text="call me optimist.", cond_mel=ref_mel,
+                ref_frames=ref_mel.shape[0], duration=160, steps=2, seed=12),
+    ]
+
+    solo = [engine.synthesize_rows([r])[0] for r in [edit_row, *synth_rows]]
+    batched = engine.synthesize_rows([edit_row, *synth_rows])
+    assert engine._edit_cache, "edit-capable program was not used"
+
+    for (w_solo, m_solo), (w_b, m_b) in zip(solo, batched):
+        np.testing.assert_allclose(w_b, w_solo, atol=1e-5)
+        np.testing.assert_allclose(m_b, m_solo, atol=1e-5)
+
+    # edit row's unmasked frames survive verbatim through the batched path
+    wave, sr, mel = engine.finalize_edit(edit_row, rms, *batched[0])
+    assert sr == 24000 and np.all(np.isfinite(wave))
