@@ -56,6 +56,14 @@ class EngineConfig:
     cross_fade_duration: float = 0.15
     target_rms: float = TARGET_RMS
     speed: float = 1.0
+    # Long-form throughput knob: additionally cap each chunk so its predicted
+    # TOTAL frames (ref + generated) fit this bucket. The reference's byte
+    # budget targets ~25 s chunks (utils_infer.py:377) which land in the
+    # 2048-frame bucket; the attention n² makes 1024-frame chunks ~1.4x
+    # faster per generated frame on chip (BENCH.md), so capping here trades
+    # slightly more crossfade/ref overhead for net long-form throughput.
+    # None = exact reference chunking contract.
+    chunk_frames_budget: int | None = None
 
 
 def _bucket(v: int, buckets: tuple[int, ...]) -> int:
@@ -398,7 +406,14 @@ class TTSEngine:
         cond_mel = _ref_mel(ref_audio, cfg.mel)
 
         # --- chunking (utils_infer.py:376-378)
-        chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs), 1))
+        max_chars = max_chars_for_ref(ref_text, ref_secs)
+        if cfg.chunk_frames_budget is not None:
+            # invert the duration heuristic (utils_infer.py:446-453): bytes
+            # that keep ref + generated frames within the target bucket
+            ref_bytes = max(len(ref_text.encode("utf-8")), 1)
+            budget_frames = max(cfg.chunk_frames_budget - ref_frames, 1)
+            max_chars = min(max_chars, int(budget_frames * ref_bytes / max(ref_frames, 1) * speed))
+        chunks = chunk_text(gen_text, max_chars=max(max_chars, 1))
         if not chunks:
             chunks = [gen_text]
 

@@ -164,6 +164,10 @@ class ModelService:
                 cfg_cache_period=s.cfg_cache,
             )
             engine_cfg = dataclasses.replace(engine_cfg, sampler=sampler)
+        if s.chunk_budget > 0:
+            import dataclasses
+
+            engine_cfg = dataclasses.replace(engine_cfg, chunk_frames_budget=s.chunk_budget)
         # build everything into locals and publish only on full success: a
         # failure in voices/warmup must not leave self.engine set (loaded=True
         # for a half-initialized model makes load_model's rollback a no-op)

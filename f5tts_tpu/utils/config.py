@@ -66,6 +66,10 @@ class Settings:
     # the reference's exact always-guided behavior
     cfg_interval: str = ""  # "lo,hi" guidance interval (arXiv:2404.07724)
     cfg_cache: int = 1  # null-branch refresh period k (arXiv:2509.09748 family)
+    # long-form throughput: cap chunks so ref+generated frames fit this bucket
+    # (0 = exact reference chunking budget, ~25 s chunks; 1024 measured ~1.4x
+    # faster per generated frame — EngineConfig.chunk_frames_budget)
+    chunk_budget: int = 0
 
     def __post_init__(self):
         for name in ("speech_rate_limit", "chat_rate_limit"):

@@ -34,6 +34,9 @@ def main(argv=None):
     # n^2 growth) — bucket choice is a 2x lever, and the engine's default
     # bucket ladder picks 2048 by itself
     p.add_argument("--bucket", type=int, default=2048)
+    # cap chunks to a faster bucket (EngineConfig.chunk_frames_budget):
+    # --chunk-budget 1024 --bucket 1024 measures the throughput-chunked path
+    p.add_argument("--chunk-budget", type=int, default=None)
     args = p.parse_args(argv)
 
     from f5tts_tpu.utils.cache import enable_compilation_cache
@@ -55,7 +58,8 @@ def main(argv=None):
         init_vocos(jax.random.PRNGKey(1), voc_cfg), tok,
         EngineConfig(duration_buckets=(args.bucket,), batch_buckets=(args.batch,),
                      text_pad=512, compute_dtype="bfloat16",
-                     sampler=SamplerConfig(steps=args.nfe)),
+                     sampler=SamplerConfig(steps=args.nfe),
+                     chunk_frames_budget=args.chunk_budget),
     )
 
     # 1.37 s reference tone; the chunker's byte budget then packs sentences

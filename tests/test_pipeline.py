@@ -169,3 +169,38 @@ def test_split_style_segments_hyphenated_voice():
         {"priya-hindi": 1, "v2.5": 1, "main": 1}, default="main")
     assert segs == [("main", "hello there."), ("priya-hindi", "namaste."),
                     ("v2.5", "hi again.")]
+
+
+def test_chunk_frames_budget_caps_row_durations():
+    """EngineConfig.chunk_frames_budget (long-form throughput knob): every
+    planned row's total frames fit the requested bucket, and the default
+    (None) keeps the reference's ~25 s speech-rate budget."""
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    voc_cfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=2)
+    tiny = DiTConfig(dim=64, depth=1, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+                     text_num_embeds=90, text_dim=32, conv_layers=1, max_pos=4096)
+
+    def build(budget):
+        return TTSEngine(
+            init_dit(jax.random.PRNGKey(0), tiny), tiny,
+            init_vocos(jax.random.PRNGKey(1), voc_cfg),
+            Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}}),
+            EngineConfig(mel=MelConfig(n_mels=20), vocoder=voc_cfg,
+                         sampler=SamplerConfig(steps=1), text_pad=512,
+                         compute_dtype="float32", chunk_frames_budget=budget),
+        )
+
+    rng = np.random.default_rng(0)
+    ref = (rng.standard_normal(24000) * 0.1).astype(np.float32)  # 1 s ref
+    paragraph = ("The quick brown fox jumps over the lazy dog near the river. " * 120)
+
+    plan_ref = build(None).prepare_request(paragraph, ref, 24000, "a reference sentence.")
+    plan_cap = build(1024).prepare_request(paragraph, ref, 24000, "a reference sentence.")
+
+    assert max(r.duration for r in plan_cap.rows) <= 1024
+    assert len(plan_cap.rows) > len(plan_ref.rows)  # shorter chunks -> more rows
+    # same text covered (byte totals modulo whitespace)
+    joined = lambda plan: "".join(r.text for r in plan.rows).replace(" ", "")
+    ref_text_bytes = "areferencesentence."  # prepended per row
+    assert joined(plan_cap).replace(ref_text_bytes, "") == joined(plan_ref).replace(ref_text_bytes, "")
