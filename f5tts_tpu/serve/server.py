@@ -266,6 +266,47 @@ class ModelService:
             voices["default"] = (tone, sr, "reference audio.")
         return voices
 
+    MAX_VOICE_SLOTS = 100  # the reference gradio's multistyle slot cap (infer_gradio.py:317-499)
+
+    def add_voice(self, name: str, wav_bytes: bytes, ref_text: str) -> None:
+        """Register a reference-voice slot at runtime (gradio voice-slot
+        management parity). Persists into voices_dir when configured; the
+        voices dict is swapped, not mutated, so in-flight requests keep a
+        consistent snapshot."""
+        import re as _re
+
+        if not _re.fullmatch(r"[\w.-]{1,64}", name):
+            raise ValueError("voice name must be 1-64 chars of [A-Za-z0-9_.-]")
+        if len(self.voices) >= self.MAX_VOICE_SLOTS and name not in self.voices:
+            raise ValueError(f"voice-slot limit ({self.MAX_VOICE_SLOTS}) reached")
+        wav, sr = read_wav(wav_bytes)
+        clipped = clip_ref_audio(wav, sr)
+        if self.settings.voices_dir:
+            import os
+
+            os.makedirs(self.settings.voices_dir, exist_ok=True)
+            with open(os.path.join(self.settings.voices_dir, f"{name}.wav"), "wb") as f:
+                f.write(wav_bytes)
+            with open(os.path.join(self.settings.voices_dir, f"{name}.txt"), "w", encoding="utf-8") as f:
+                f.write(ref_text)
+        self.voices = {**self.voices, name: (clipped, sr, ref_text)}
+
+    def remove_voice(self, name: str) -> None:
+        if name not in self.voices:
+            raise KeyError(name)
+        if len(self.voices) == 1:
+            raise ValueError("cannot remove the last voice")
+        new = dict(self.voices)
+        new.pop(name)
+        self.voices = new
+        if self.settings.voices_dir:
+            import os
+
+            for ext in (".wav", ".txt"):
+                p = os.path.join(self.settings.voices_dir, name + ext)
+                if os.path.exists(p):
+                    os.remove(p)
+
     def unload(self):
         with self._lifecycle:
             if self.batcher:
@@ -728,6 +769,35 @@ def build_app(settings: Settings) -> web.Application:
     async def voices(request: web.Request) -> web.Response:
         return web.json_response({"voices": sorted(service.voices)})
 
+    async def add_voice(request: web.Request) -> web.Response:
+        """Create/replace a reference-voice slot (multipart: ``name``,
+        ``file`` wav, optional ``ref_text``) — the reference gradio's
+        multistyle voice-slot workflow (``infer_gradio.py:317-499``) as API."""
+        check_auth(request)
+        form = await request.post()
+        upload = form.get("file")
+        name = str(form.get("name", "")).strip()
+        if upload is None or not hasattr(upload, "file") or not name:
+            raise web.HTTPBadRequest(text=json.dumps({"error": "need multipart fields 'name' and 'file' (wav)"}))
+        try:
+            service.add_voice(name, upload.file.read(), str(form.get("ref_text", "")))
+        except ValueError as e:
+            raise web.HTTPBadRequest(text=json.dumps({"error": str(e)}))
+        except Exception as e:
+            raise web.HTTPBadRequest(text=json.dumps({"error": f"bad wav: {e}"}))
+        return web.json_response({"voices": sorted(service.voices)})
+
+    async def delete_voice(request: web.Request) -> web.Response:
+        check_auth(request)
+        name = request.match_info["name"]
+        try:
+            service.remove_voice(name)
+        except KeyError:
+            raise web.HTTPNotFound(text=json.dumps({"error": f"unknown voice {name!r}"}))
+        except ValueError as e:
+            raise web.HTTPBadRequest(text=json.dumps({"error": str(e)}))
+        return web.json_response({"voices": sorted(service.voices)})
+
     async def indic_chat(request: web.Request) -> web.Response:
         check_auth(request)
         client = request.remote or "?"
@@ -922,6 +992,8 @@ def build_app(settings: Settings) -> web.Application:
     app.router.add_post("/v1/load_model", load_model)
     app.router.add_get("/app", webapp)
     app.router.add_get("/v1/voices", voices)
+    app.router.add_post("/v1/voices", add_voice)
+    app.router.add_delete("/v1/voices/{name}", delete_voice)
     app.router.add_post("/v1/indic_chat", indic_chat)
     app.router.add_post("/v1/translate", translate_route)
     app.router.add_post("/v1/visual_query", visual_query)

@@ -40,6 +40,17 @@ reference Gradio app's voice-chat tab (`infer_gradio.py:534-739`) as a browser f
 </div>
 <div class="row"><audio id="vplayer" controls style="width:100%"></audio></div>
 <hr>
+<h3>Voice slots</h3>
+<p style="color:#666">Upload reference voices (≤100 slots) with their transcripts — the Gradio
+app's multi-style voice-slot management (`infer_gradio.py:317-499`) as API + UI.</p>
+<div class="row">
+ name <input id="vname" placeholder="narrator_f" style="width:10rem">
+ wav <input id="vfile" type="file" accept=".wav,audio/wav">
+ ref text <input id="vreftext" placeholder="what the clip says" style="width:30%">
+ <button id="vadd">Add voice</button><span id="vmgmt"></span>
+</div>
+<div class="row" id="vlist" style="color:#666"></div>
+<hr>
 <h3>Custom checkpoint</h3>
 <p style="color:#666">Hot-swap the served model (the Gradio app's custom-ckpt picker,
 `infer_gradio.py:751-819`); the last-used paths are remembered server-side.</p>
@@ -162,8 +173,50 @@ async function loadVoices() {
       };
       styles.appendChild(b);
     }
+    renderVoiceSlots(h.voices);
   } catch (e) {}
 }
+function renderVoiceSlots(voices) {
+  const list = document.getElementById('vlist');
+  list.textContent = 'slots: ';
+  for (const v of voices) {
+    const span = document.createElement('span');
+    span.style.marginRight = '0.6rem';
+    span.textContent = v + ' ';
+    const del = document.createElement('button');
+    del.textContent = '×'; del.title = 'delete voice slot ' + v;
+    del.onclick = async () => {
+      const r = await fetch('/v1/voices/' + encodeURIComponent(v), {method:'DELETE', headers: authH()});
+      const body = await r.json();
+      document.getElementById('vmgmt').textContent = r.ok ? 'deleted ' + v : (body.error || 'error');
+      if (r.ok) refreshVoiceControls(body.voices);
+    };
+    span.appendChild(del);
+    list.appendChild(span);
+  }
+}
+function refreshVoiceControls(voices) {
+  const sel = document.getElementById('voice');
+  sel.innerHTML = '';
+  for (const v of voices) {
+    const o = document.createElement('option'); o.value = v; o.textContent = v; sel.appendChild(o);
+  }
+  renderVoiceSlots(voices);
+}
+document.getElementById('vadd').onclick = async () => {
+  const st = document.getElementById('vmgmt');
+  const f = document.getElementById('vfile').files[0];
+  const name = document.getElementById('vname').value.trim();
+  if (!f || !name) { st.textContent = 'need a name and a wav file'; return; }
+  const fd = new FormData();
+  fd.append('name', name);
+  fd.append('ref_text', document.getElementById('vreftext').value);
+  fd.append('file', f, f.name);
+  const r = await fetch('/v1/voices', {method:'POST', headers: authH(), body: fd});
+  const body = await r.json();
+  st.textContent = r.ok ? 'added ' + name : (body.error || 'error');
+  if (r.ok) refreshVoiceControls(body.voices);
+};
 document.getElementById('go').onclick = async () => {
   const status = document.getElementById('status');
   status.textContent = 'synthesizing...';

@@ -170,7 +170,14 @@ class MelSpectrogram(nn.Module):
 
 
 def _module(name, **attrs):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a well-formed spec + version: other libraries probe availability with
+    # importlib.util.find_spec / __version__ (transformers does for librosa),
+    # and a spec-less sys.modules entry makes find_spec raise ValueError
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    mod.__version__ = "0.0.0+f5tpu-test-stub"
     for k, v in attrs.items():
         setattr(mod, k, v)
     return mod

@@ -403,3 +403,58 @@ def test_server_parler_over_budget_text_is_400():
     finally:
         loop.run_until_complete(c.close())
         loop.close()
+
+
+def test_voice_slot_management(client, tmp_path):
+    """Voice-slot API (gradio multistyle slot workflow, infer_gradio.py:317-499):
+    upload a named reference voice, it becomes usable for synthesis, delete it;
+    the last remaining voice cannot be deleted; bad names 400."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def wav_bytes():
+        sr = 24000
+        t = np.arange(sr) / sr
+        pcm = (np.sin(2 * np.pi * 300 * t) * 0.2 * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    import aiohttp
+
+    form = aiohttp.FormData()
+    form.add_field("name", "narrator_f")
+    form.add_field("ref_text", "a calm narration voice.")
+    form.add_field("file", wav_bytes(), filename="v.wav", content_type="audio/wav")
+    resp, body = _req(client, "POST", "/v1/voices", data=form)
+    assert resp.status == 200, body
+    assert "narrator_f" in json.loads(body)["voices"]
+
+    # synthesize with the new slot
+    resp, body = _req(client, "POST", "/v1/audio/speech",
+                      json={"text": "testing the new voice.", "voice": "narrator_f", "nfe_step": 2})
+    assert resp.status == 200, body
+
+    # bad name rejected
+    bad = aiohttp.FormData()
+    bad.add_field("name", "../evil")
+    bad.add_field("file", wav_bytes(), filename="v.wav", content_type="audio/wav")
+    resp, body = _req(client, "POST", "/v1/voices", data=bad)
+    assert resp.status == 400
+
+    resp, body = _req(client, "DELETE", "/v1/voices/narrator_f")
+    assert resp.status == 200
+    assert "narrator_f" not in json.loads(body)["voices"]
+
+    # cannot delete the last voice
+    remaining = json.loads(body)["voices"]
+    for name in remaining[:-1]:
+        _req(client, "DELETE", f"/v1/voices/{name}")
+    resp, body = _req(client, "DELETE", f"/v1/voices/{remaining[-1]}")
+    assert resp.status == 400
