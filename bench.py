@@ -1,8 +1,10 @@
 """Headline benchmark: realtime factor of the full TTS stack on one chip.
 
 Measures the BASELINE north-star metric — audio-seconds generated per second
-per chip (config #2: F5-TTS Base DiT + Vocos, batch 8, bf16, CFG 2.0, NFE 32)
-— and prints ONE JSON line:
+per chip (config #2 geometry: F5-TTS Base DiT + Vocos, batch 8, bf16, CFG 2.0)
+at the SHIPPING sampler default (ralston RK2 @ NFE 20/branch, certified
+at-or-better-than-recipe solver accuracy in BENCH.md; the exact reference
+recipe is BENCH_METHOD=euler BENCH_NFE=32) — and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 ``vs_baseline`` is vs. the ">50x realtime per chip" target (reference publishes
 no numbers of its own — BASELINE.md).
@@ -29,9 +31,16 @@ def main():
     from f5tts_tpu.models.vocos import VocosConfig, init_vocos
     from f5tts_tpu.text.tokenizer import Tokenizer
 
+    from f5tts_tpu.sampling.euler import DEFAULT_NFE, nfe_to_steps
+
     batch = int(os.environ.get("BENCH_BATCH", 8))
     n_frames = int(os.environ.get("BENCH_FRAMES", 1024))
-    nfe = int(os.environ.get("BENCH_NFE", 32))
+    # default = the certified serving recipe (ralston RK2 @ NFE 20/branch,
+    # BENCH.md round-2 quality certification). The exact reference recipe is
+    # BENCH_METHOD=euler BENCH_NFE=32. BENCH_NFE counts model evals/branch.
+    method = os.environ.get("BENCH_METHOD", "ralston")
+    nfe = int(os.environ.get("BENCH_NFE", 0)) or DEFAULT_NFE[method]
+    steps = nfe_to_steps(nfe, method)
     ref_frames = int(os.environ.get("BENCH_REF_FRAMES", 128))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
@@ -49,15 +58,15 @@ def main():
     interval = parse_cfg_interval(iv) if iv else (0.0, 1.0)
     cache = int(os.environ.get("BENCH_CFG_CACHE", 1))  # null-branch refresh period
     cache_mode = os.environ.get("BENCH_CFG_CACHE_MODE", "hold")  # hold | extrapolate
-    sampler = SamplerConfig(steps=nfe, cfg_interval=interval, cfg_cache_period=cache,
-                            cfg_cache_mode=cache_mode)
+    sampler = SamplerConfig(steps=steps, method=method, cfg_interval=interval,
+                            cfg_cache_period=cache, cfg_cache_mode=cache_mode)
     cfg = EngineConfig(
         duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
         compute_dtype="bfloat16", quantization=quant, sampler=sampler,
     )
     engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, cfg)
 
-    fn = engine._compiled(n_frames, batch, cfg.text_pad, nfe, 2.0)
+    fn = engine._compiled(n_frames, batch, cfg.text_pad, steps, 2.0)
     rng = np.random.default_rng(0)
     cond = jnp.asarray(rng.standard_normal((batch, n_frames, 100)), jnp.float32)
     cond_lens = jnp.full((batch,), ref_frames, jnp.int32)

@@ -29,7 +29,12 @@ def add_engine_args(p: argparse.ArgumentParser, short: bool = False) -> None:
     p.add_argument("--vocoder", default="vocos", choices=["vocos", "bigvgan"],
                    help="vocoder family (reference --vocoder_name; bigvgan implies the bigvgan mel flavor)")
     p.add_argument("--vocoder-ckpt", default="", help="vocoder torch checkpoint (vocos pytorch_model.bin / bigvgan generator)")
-    p.add_argument("--nfe", type=int, default=32)
+    p.add_argument("--nfe", type=int, default=0,
+                   help="model evals per guidance branch (reference nfe_step); 0 = method default (euler 32, RK2 20)")
+    p.add_argument("--method", default="auto", choices=["auto", "euler", "midpoint", "heun", "ralston", "rk4"],
+                   help="ODE integrator; auto = ralston (the certified reduced-compute default, BENCH.md) "
+                        "unless an euler-only knob (--cfg-interval/--cfg-cache/--time-grid) is set; "
+                        "euler + --nfe 32 = the exact reference recipe")
     p.add_argument("--cfg-strength", type=float, default=2.0)
     p.add_argument("--sway", type=float, default=-1.0)
     p.add_argument("--time-grid", default="", help="comma list of ODE time knots 0..1 (pruned-step schedules, overrides --nfe/--sway)")
@@ -182,10 +187,19 @@ def build_engine(args):
             # torch .pt/.safetensors file, or an orbax train dir from f5tpu-train
             dit_params = load_f5_checkpoint(args.ckpt_file, dit_cfg)
 
+    from f5tts_tpu.sampling.euler import DEFAULT_NFE, nfe_to_steps
+
+    method = args.method
+    if method == "auto":
+        # euler-only knobs force the euler integrator; otherwise ship the
+        # certified ralston default (engine.EngineConfig docstring / BENCH.md)
+        method = "euler" if (args.cfg_interval or args.cfg_cache > 1 or args.time_grid) else "ralston"
+    nfe = args.nfe or DEFAULT_NFE[method]
     engine_cfg = EngineConfig(
         mel=mel_cfg, vocoder=voc_cfg,
         sampler=SamplerConfig(
-            steps=args.nfe, cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway,
+            steps=nfe_to_steps(nfe, method), method=method,
+            cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway,
             time_grid=tuple(float(v) for v in args.time_grid.split(",")) if args.time_grid else None,
             cfg_interval=_parse_cfg_interval(args.cfg_interval) if args.cfg_interval else (0.0, 1.0),
             cfg_cache_period=args.cfg_cache,
@@ -249,7 +263,7 @@ def main(argv=None):
         wave, sr, _ = engine.synthesize(
             seg_text, v_audio, v_sr, v_text,
             speed=args.speed, fix_duration_secs=args.fix_duration,
-            nfe_step=args.nfe, cfg_strength=args.cfg_strength, seed=args.seed,
+            nfe_step=args.nfe or None, cfg_strength=args.cfg_strength, seed=args.seed,
             cross_fade_duration=args.cross_fade,
         )
         waves.append(wave)

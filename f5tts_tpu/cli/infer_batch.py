@@ -99,7 +99,7 @@ def main(argv=None):
         for i in idxs:
             plan = engine.prepare_request(
                 rows[i]["text"], ref_audio, ref_sr, ref_text,
-                speed=args.speed, nfe_step=args.nfe, cfg_strength=args.cfg_strength,
+                speed=args.speed, nfe_step=args.nfe or None, cfg_strength=args.cfg_strength,
                 seed=args.seed, cross_fade_duration=args.cross_fade,
                 fix_duration_secs=args.fix_duration,
             )

@@ -46,7 +46,7 @@ def main(argv=None):
     audio, sr = read_wav(args.audio)
     wave, out_sr, _ = engine.speech_edit(
         audio, sr, args.target_text, parts, fixes,
-        steps=args.nfe, cfg_strength=args.cfg_strength, seed=args.seed,
+        steps=args.nfe or None, cfg_strength=args.cfg_strength, seed=args.seed,
     )
     write_wav(args.output, wave, out_sr)
     print(f"wrote {args.output}: {len(wave) / out_sr:.2f}s")

@@ -34,7 +34,7 @@ from f5tts_tpu.audio.stitch import crossfade_concat
 from f5tts_tpu.models.dit import DiTConfig, dit_embed, dit_forward
 from f5tts_tpu.models.vocos import VocosConfig, vocos_decode
 from f5tts_tpu.ops.mel import MelConfig, bucketed_log_mel
-from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm
+from f5tts_tpu.sampling.euler import SamplerConfig, nfe_to_steps, sample_cfm, serving_default_sampler
 from f5tts_tpu.text.chunker import chunk_text, duration_frames, max_chars_for_ref
 from f5tts_tpu.text.tokenizer import Tokenizer
 from f5tts_tpu.utils.profiling import GLOBAL_TIMER
@@ -46,7 +46,12 @@ class EngineConfig:
     vocoder_type: str = "vocos"  # "vocos" | "bigvgan" (utils_infer.py:92-130 choice)
     vocoder: VocosConfig = field(default_factory=VocosConfig)
     bigvgan: "object" = None  # BigVGANConfig when vocoder_type == "bigvgan"
-    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    # serving default = the CERTIFIED reduced-compute recipe (Ralston RK2, 10
+    # intervals = NFE 40 across both branches; BENCH.md round-2 quality
+    # certification: 0.48-0.69x the Euler-32 recipe's own solver error at
+    # 40/64 the forwards). The exact reference recipe is
+    # SamplerConfig(method="euler", steps=32).
+    sampler: SamplerConfig = field(default_factory=serving_default_sampler)
     duration_buckets: tuple[int, ...] = (256, 512, 768, 1024, 1536, 2048, 3072, 4096)
     batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
     text_pad: int = 512
@@ -301,7 +306,7 @@ class TTSEngine:
         batcher like any synthesis chunk."""
         cfg = self.cfg
         hop = cfg.mel.hop_length
-        steps = steps if steps is not None else cfg.sampler.steps
+        steps = nfe_to_steps(steps, cfg.sampler.method) if steps is not None else cfg.sampler.steps
         guidance = cfg_strength if cfg_strength is not None else cfg.sampler.cfg_strength
 
         if audio.ndim == 2:
@@ -387,7 +392,9 @@ class TTSEngine:
         cross-request continuous batcher."""
         cfg = self.cfg
         speed = speed if speed is not None else cfg.speed
-        steps = nfe_step if nfe_step is not None else cfg.sampler.steps
+        # nfe_step counts model evals per branch (the reference's knob);
+        # convert to ODE intervals for the configured integrator
+        steps = nfe_to_steps(nfe_step, cfg.sampler.method) if nfe_step is not None else cfg.sampler.steps
         guidance = cfg_strength if cfg_strength is not None else cfg.sampler.cfg_strength
         xfade = cross_fade_duration if cross_fade_duration is not None else cfg.cross_fade_duration
 
@@ -470,7 +477,7 @@ class TTSEngine:
         equals the non-streaming output."""
         cfg = self.cfg
         speed = speed if speed is not None else cfg.speed
-        steps = nfe_step if nfe_step is not None else cfg.sampler.steps
+        steps = nfe_to_steps(nfe_step, cfg.sampler.method) if nfe_step is not None else cfg.sampler.steps
         guidance = cfg_strength if cfg_strength is not None else cfg.sampler.cfg_strength
         xfade = cross_fade_duration if cross_fade_duration is not None else cfg.cross_fade_duration
         n_fade = int(xfade * TARGET_SR)

@@ -38,7 +38,13 @@ class SamplerConfig:
     steps: int = 32
     cfg_strength: float = 2.0
     sway_sampling_coef: float | None = -1.0
-    method: str = "euler"  # "euler" | "midpoint"
+    method: str = "euler"  # "euler" | "midpoint" | "heun" | "ralston" | "rk4"
+    # Within-step null reuse for multi-eval (RK) integrators: the step's first
+    # velocity eval runs the fused cond+null pair; the remaining evals of the
+    # SAME step run the b-row cond branch and reuse that null (staleness span
+    # ≤ one interval — tighter than cfg_cache_period's k-step hold). Guidance
+    # stays active on every eval. midpoint: 4 → 3 forwards per interval.
+    cfg_null_reuse: bool = False
     # Explicit ODE time knots overriding steps/sway (training-free step
     # pruning a la EPSS, arXiv:2505.19931): monotone, from 0.0 to 1.0.
     time_grid: tuple[float, ...] | None = None
@@ -75,6 +81,43 @@ class SamplerConfig:
                 raise ValueError("cfg_cache_period requires method='euler'")
             if tuple(self.cfg_interval) != (0.0, 1.0):
                 raise ValueError("cfg_cache_period and cfg_interval are mutually exclusive")
+        if self.method not in ("euler", "midpoint", "heun", "ralston", "rk4"):
+            raise ValueError(f"unknown ODE method {self.method!r}")
+        if self.cfg_null_reuse:
+            if self.method == "euler":
+                raise ValueError("cfg_null_reuse only applies to multi-eval methods")
+            if tuple(self.cfg_interval) != (0.0, 1.0) or self.cfg_cache_period > 1:
+                raise ValueError("cfg_null_reuse is mutually exclusive with cfg_interval/cfg_cache_period")
+
+
+# model evaluations per ODE interval (per guidance branch)
+EVALS_PER_STEP = {"euler": 1, "midpoint": 2, "heun": 2, "ralston": 2, "rk4": 4}
+
+# user-facing NFE defaults per method, counting per-branch model evals (the
+# reference's nfe_step knob, utils_infer.py:49): euler 32 = the reference
+# recipe; the 2nd-order default is the certified serving recipe (20 evals =
+# ralston 10 intervals — BENCH.md round-2 quality certification)
+DEFAULT_NFE = {"euler": 32, "midpoint": 20, "heun": 20, "ralston": 20, "rk4": 20}
+
+
+def nfe_to_steps(nfe: int, method: str) -> int:
+    """User-facing nfe_step counts MODEL EVALS per guidance branch (the
+    reference's knob); convert to ODE intervals for the configured integrator
+    (midpoint/heun/ralston cost 2 evals per interval, rk4 costs 4) so
+    ``nfe_step=32`` is the same compute at any method."""
+    return max(nfe // EVALS_PER_STEP[method], 1)
+
+
+def serving_default_sampler(**overrides) -> SamplerConfig:
+    """The certified serving default: Ralston RK2 at 10 intervals (NFE 40
+    total across both guidance branches — 40/64 the reference recipe's
+    forwards) with the recipe's CFG 2.0 / sway −1.0. Certified in BENCH.md:
+    its distance to the true guided-ODE solution measures 0.48-0.69x the
+    NFE-32 Euler recipe's own solver error on toy-trained fields. The exact
+    reference recipe stays available via method='euler', steps=32."""
+    kw = dict(method="ralston", steps=10)
+    kw.update(overrides)
+    return SamplerConfig(**kw)
 
 
 def parse_cfg_interval(s: str) -> tuple[float, float]:
@@ -219,6 +262,15 @@ def sample_cfm(
 
             if (lo, hi) != (0.0, 1.0):
                 velocity_plain = cond_forward
+        elif sampler.cfg_null_reuse:
+            text_emb1 = jax.tree.map(lambda e: e[:b] if hasattr(e, "shape") else e, text_emb2)
+
+            def cond_forward(t_scalar, x):
+                return forward_fn(
+                    params, model_cfg, x, step_cond, None,
+                    jnp.broadcast_to(t_scalar, (b,)).astype(compute_dtype),
+                    f, f, attn_mask, text_emb=text_emb1, compute_dtype=compute_dtype,
+                )
 
     else:
         text_emb = embed_fn(params, model_cfg, text, n, f, attn_mask)
@@ -314,6 +366,22 @@ def sample_cfm(
         return jnp.where(cond_mask[..., None], cond, y)
 
     def make_step(vel):
+        s = sampler.cfg_strength
+        reuse = sampler.cfg_null_reuse and use_cfg
+
+        def evals(t0, y0_, dt):
+            """(k1, guided-eval fn for later stage points of this step)."""
+            if reuse:
+                pred, null = velocity_pair(t0, y0_)
+                k1 = pred + (pred - null) * s
+
+                def later(t, x):
+                    p = cond_forward(t, x)
+                    return p + (p - null) * s
+
+                return k1, later
+            return vel(t0, y0_), vel
+
         if sampler.method == "euler":
 
             def step(y, ts):
@@ -326,8 +394,41 @@ def sample_cfm(
             def step(y, ts):
                 t0, t1 = ts
                 dt = t1 - t0
-                y_mid = y + 0.5 * dt * vel(t0, y)
-                y = y + dt * vel(t0 + 0.5 * dt, y_mid)
+                k1, later = evals(t0, y, dt)
+                y_mid = y + 0.5 * dt * k1
+                y = y + dt * later(t0 + 0.5 * dt, y_mid)
+                return y, None
+
+        elif sampler.method == "heun":
+
+            def step(y, ts):
+                t0, t1 = ts
+                dt = t1 - t0
+                k1, later = evals(t0, y, dt)
+                k2 = later(t1, y + dt * k1)
+                y = y + dt * 0.5 * (k1 + k2)
+                return y, None
+
+        elif sampler.method == "ralston":
+
+            def step(y, ts):
+                t0, t1 = ts
+                dt = t1 - t0
+                k1, later = evals(t0, y, dt)
+                k2 = later(t0 + (2.0 / 3.0) * dt, y + (2.0 / 3.0) * dt * k1)
+                y = y + dt * (0.25 * k1 + 0.75 * k2)
+                return y, None
+
+        elif sampler.method == "rk4":
+
+            def step(y, ts):
+                t0, t1 = ts
+                dt = t1 - t0
+                k1, later = evals(t0, y, dt)
+                k2 = later(t0 + 0.5 * dt, y + 0.5 * dt * k1)
+                k3 = later(t0 + 0.5 * dt, y + 0.5 * dt * k2)
+                k4 = later(t1, y + dt * k3)
+                y = y + dt / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
                 return y, None
 
         else:

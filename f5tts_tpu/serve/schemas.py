@@ -22,7 +22,9 @@ class SpeechRequest(BaseModel):
     ref_text: str | None = None
     language: str | None = None
     speed: float = Field(default=1.0, ge=0.3, le=3.0)
-    nfe_step: int = Field(default=32, ge=1, le=128)
+    # model evals per guidance branch (reference nfe_step knob); None = the
+    # server's configured default (the certified ralston recipe, BENCH.md)
+    nfe_step: int | None = Field(default=None, ge=1, le=128)
     cfg_strength: float = Field(default=2.0, ge=0.0, le=10.0)
     seed: int | None = None
     response_format: str = "wav"

