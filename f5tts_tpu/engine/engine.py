@@ -65,10 +65,11 @@ class EngineConfig:
     # TOTAL frames (ref + generated) fit this bucket. The reference's byte
     # budget targets ~25 s chunks (utils_infer.py:377) which land in the
     # 2048-frame bucket; the attention n² makes 1024-frame chunks ~1.4x
-    # faster per generated frame on chip (BENCH.md), so capping here trades
-    # slightly more crossfade/ref overhead for net long-form throughput.
-    # None = exact reference chunking contract.
-    chunk_frames_budget: int | None = None
+    # faster per generated frame on chip (BENCH.md), so the default caps
+    # chunks at the 1024 bucket — slightly more crossfade/ref overhead for
+    # net long-form throughput (measured in BENCH.md config #4).
+    # None = exact reference chunking contract (~25 s chunks).
+    chunk_frames_budget: int | None = 1024
 
 
 def _bucket(v: int, buckets: tuple[int, ...]) -> int:
@@ -177,6 +178,17 @@ class TTSEngine:
             self._decode = lambda vp, mel_frames: bigvgan_decode(vp, mel_frames, bcfg, compute_dtype=self.compute_dtype)
         else:
             self._decode = lambda vp, mel_frames: vocos_decode(vp, mel_frames, cfg.vocoder, compute_dtype=self.compute_dtype)
+
+    def _max_chunk_chars(self, ref_text: str, ref_secs: float, ref_frames: int, speed: float) -> int:
+        """Chunker byte budget (utils_infer.py:376-378), additionally capped by
+        chunk_frames_budget: invert the duration heuristic (utils_infer.py:446-453)
+        so ref + generated frames of a full chunk fit the target bucket."""
+        max_chars = max_chars_for_ref(ref_text, ref_secs)
+        if self.cfg.chunk_frames_budget is not None:
+            ref_bytes = max(len(ref_text.encode("utf-8")), 1)
+            budget_frames = max(self.cfg.chunk_frames_budget - ref_frames, 1)
+            max_chars = min(max_chars, int(budget_frames * ref_bytes / max(ref_frames, 1) * speed))
+        return max(max_chars, 1)
 
     def _wave_samples(self, n_frames: int) -> int:
         """Samples produced for n mel frames: vocos iSTFT yields (n-1)*hop
@@ -413,14 +425,7 @@ class TTSEngine:
         cond_mel = _ref_mel(ref_audio, cfg.mel)
 
         # --- chunking (utils_infer.py:376-378)
-        max_chars = max_chars_for_ref(ref_text, ref_secs)
-        if cfg.chunk_frames_budget is not None:
-            # invert the duration heuristic (utils_infer.py:446-453): bytes
-            # that keep ref + generated frames within the target bucket
-            ref_bytes = max(len(ref_text.encode("utf-8")), 1)
-            budget_frames = max(cfg.chunk_frames_budget - ref_frames, 1)
-            max_chars = min(max_chars, int(budget_frames * ref_bytes / max(ref_frames, 1) * speed))
-        chunks = chunk_text(gen_text, max_chars=max(max_chars, 1))
+        chunks = chunk_text(gen_text, max_chars=self._max_chunk_chars(ref_text, ref_secs, ref_frames, speed))
         if not chunks:
             chunks = [gen_text]
 
@@ -493,7 +498,9 @@ class TTSEngine:
         ref_frames = len(ref_audio) // cfg.mel.hop_length
         cond_mel = _ref_mel(ref_audio, cfg.mel)
 
-        chunks = chunk_text(gen_text, max_chars=max(max_chars_for_ref(ref_text, ref_secs), 1)) or [gen_text]
+        # identical chunking to prepare_request (incl. the chunk_frames_budget
+        # cap) so concatenating the stream equals the non-streaming output
+        chunks = chunk_text(gen_text, max_chars=self._max_chunk_chars(ref_text, ref_secs, ref_frames, speed)) or [gen_text]
 
         from f5tts_tpu.audio import native
 

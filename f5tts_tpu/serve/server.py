@@ -170,10 +170,11 @@ class ModelService:
                 cfg_cache_period=s.cfg_cache,
             )
             engine_cfg = dataclasses.replace(engine_cfg, sampler=sampler)
-        if s.chunk_budget > 0:
+        if s.chunk_budget != 0:  # 0 = engine default; -1 = reference chunking
             import dataclasses
 
-            engine_cfg = dataclasses.replace(engine_cfg, chunk_frames_budget=s.chunk_budget)
+            engine_cfg = dataclasses.replace(
+                engine_cfg, chunk_frames_budget=s.chunk_budget if s.chunk_budget > 0 else None)
         # build everything into locals and publish only on full success: a
         # failure in voices/warmup must not leave self.engine set (loaded=True
         # for a half-initialized model makes load_model's rollback a no-op)

@@ -73,8 +73,9 @@ class Settings:
     cfg_interval: str = ""  # "lo,hi" guidance interval (arXiv:2404.07724)
     cfg_cache: int = 1  # null-branch refresh period k (arXiv:2509.09748 family)
     # long-form throughput: cap chunks so ref+generated frames fit this bucket
-    # (0 = exact reference chunking budget, ~25 s chunks; 1024 measured ~1.4x
-    # faster per generated frame — EngineConfig.chunk_frames_budget)
+    # (EngineConfig.chunk_frames_budget). 0 = engine default (1024, measured
+    # ~1.3x faster per generated frame than the reference's ~25 s chunks);
+    # -1 = exact reference chunking budget (no cap); >0 = explicit bucket.
     chunk_budget: int = 0
 
     def __post_init__(self):

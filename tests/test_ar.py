@@ -22,7 +22,8 @@ def _data(b=2, nt=8, nm=16, seed=0):
 def test_ar_loss_and_grads():
     params = init_ar(jax.random.PRNGKey(0), CFG)
     text, mel, lens = _data()
-    (loss, aux), grads = jax.value_and_grad(ar_loss, has_aux=True)(params, CFG, text, mel, lens)
+    (loss, aux), grads = jax.jit(jax.value_and_grad(ar_loss, has_aux=True), static_argnums=1)(
+        params, CFG, text, mel, lens)
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
     assert float(aux["l1"]) > 0 and float(aux["stop_bce"]) > 0

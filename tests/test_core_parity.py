@@ -198,7 +198,8 @@ def test_cfm_loss_and_grads(tiny_params):
     text = jnp.asarray(rng.integers(0, TINY.text_num_embeds, (2, 12)).astype(np.int32))
     lens = jnp.asarray([32, 24], dtype=jnp.int32)
 
-    (loss, aux), grads = jax.value_and_grad(cfm_loss, has_aux=True)(params, cfg, jax.random.PRNGKey(0), mel, text, lens)
+    (loss, aux), grads = jax.jit(jax.value_and_grad(cfm_loss, has_aux=True), static_argnums=1)(
+        params, cfg, jax.random.PRNGKey(0), mel, text, lens)
     assert np.isfinite(float(loss))
     flat = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)

@@ -304,7 +304,7 @@ def test_parler_loss_and_grads():
         return P.parler_loss(p, cfg, jnp.asarray(full), jnp.asarray(mask), enc,
                              pad_token=pad)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss)) and float(loss) > 0
     flat = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads))
     assert all(np.isfinite(v) for v in flat)

@@ -173,8 +173,9 @@ def test_split_style_segments_hyphenated_voice():
 
 def test_chunk_frames_budget_caps_row_durations():
     """EngineConfig.chunk_frames_budget (long-form throughput knob): every
-    planned row's total frames fit the requested bucket, and the default
-    (None) keeps the reference's ~25 s speech-rate budget."""
+    planned row's total frames fit the requested bucket (the shipping default
+    is 1024 — BENCH.md config #4); None keeps the reference's exact ~25 s
+    speech-rate budget."""
     from f5tts_tpu.text.tokenizer import Tokenizer
 
     voc_cfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=2)

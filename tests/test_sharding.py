@@ -57,7 +57,9 @@ def test_dp_tp_grads_match_single_device():
     def loss_fn(p, mel, text, lens):
         return cfm_loss(p, cfg, key, mel, text, lens)[0]
 
-    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, mel, text, lens)
+    # jit the single-device reference too: eager v&g of the CFM loss on the
+    # 8-virtual-device CPU backend measured ~20 s of this test's wall time
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(loss_fn))(params, mel, text, lens)
 
     mesh = build_mesh(model_parallel=2, devices=jax.devices()[:8])
     sharded = shard_params(params, mesh)
