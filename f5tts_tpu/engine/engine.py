@@ -61,6 +61,12 @@ class EngineConfig:
     cross_fade_duration: float = 0.15
     target_rms: float = TARGET_RMS
     speed: float = 1.0
+    # Per-solve row caps by duration bucket: batch scaling of the fused-CFG
+    # solve is NOT monotone on chip (BENCH.md): at n=1024 throughput per chip
+    # drops ~2x going 8 -> 32 rows (5641 -> 3048 bucket-frames/s), while at
+    # n=2048 32 rows measured FASTER than 8. Cap 1024-bucket solves at 8 rows
+    # (the headline-measured shape); larger groups split into capped solves.
+    solve_batch_caps: tuple[tuple[int, int], ...] = ((1024, 8),)
     # Long-form throughput knob: additionally cap each chunk so its predicted
     # TOTAL frames (ref + generated) fit this bucket. The reference's byte
     # budget targets ~25 s chunks (utils_infer.py:377) which land in the
@@ -566,8 +572,9 @@ class TTSEngine:
             groups.setdefault((nb, r.steps, r.cfg_strength), []).append(i)
 
         for (nb, steps, guidance), idxs in groups.items():
-            for start in range(0, len(idxs), cfg.batch_buckets[-1]):
-                sub = idxs[start : start + cfg.batch_buckets[-1]]
+            cap = min(dict(cfg.solve_batch_caps).get(nb, cfg.batch_buckets[-1]), cfg.batch_buckets[-1])
+            for start in range(0, len(idxs), cap):
+                sub = idxs[start : start + cap]
                 bb = _bucket(len(sub), cfg.batch_buckets)
                 pad_rows = bb - len(sub)
                 has_edit = any(rows[i].edit_mask is not None for i in sub)
