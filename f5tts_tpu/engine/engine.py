@@ -375,7 +375,12 @@ class TTSEngine:
         steps = steps if steps is not None else self.cfg.sampler.steps
         guidance = cfg_strength if cfg_strength is not None else self.cfg.sampler.cfg_strength
         buckets = buckets or [(self.cfg.duration_buckets[0], self.cfg.batch_buckets[0])]
+        caps = dict(self.cfg.solve_batch_caps)
         for nb, bb in buckets:
+            # solve_batch_caps: synthesize_rows never runs more rows than the
+            # bucket's cap — don't pay a (possibly 10+ min remote) compile for
+            # a shape that can't occur
+            bb = min(bb, caps.get(nb, bb))
             fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
             cond = jnp.zeros((bb, nb, self.cfg.mel.n_mels), jnp.float32)
             out = fn(
