@@ -223,6 +223,8 @@ class TTSEngine:
             time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
             cfg_interval=self.cfg.sampler.cfg_interval,
             cfg_cache_period=self.cfg.sampler.cfg_cache_period,
+            cfg_cache_mode=self.cfg.sampler.cfg_cache_mode,
+            cfg_null_reuse=self.cfg.sampler.cfg_null_reuse,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
@@ -260,6 +262,8 @@ class TTSEngine:
             time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
             cfg_interval=self.cfg.sampler.cfg_interval,
             cfg_cache_period=self.cfg.sampler.cfg_cache_period,
+            cfg_cache_mode=self.cfg.sampler.cfg_cache_mode,
+            cfg_null_reuse=self.cfg.sampler.cfg_null_reuse,
         )
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, out_start, seeds):
