@@ -211,21 +211,24 @@ class TTSEngine:
     # compiled core
     # ------------------------------------------------------------------
 
+    def _request_sampler(self, steps: int, cfg_strength: float) -> SamplerConfig:
+        """The engine's configured sampler at a per-request (steps, guidance):
+        every other knob (method, sway, guidance interval/caching, null reuse)
+        is inherited verbatim from ``cfg.sampler``."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self.cfg.sampler, steps=steps, cfg_strength=cfg_strength,
+            # a configured pruned time grid only applies at its own step count
+            # (per-request nfe_step overrides fall back to the sway grid)
+            time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
+        )
+
     def _compiled(self, n: int, b: int, nt: int, steps: int, cfg_strength: float):
         key = (n, b, nt, steps, cfg_strength)
         if key in self._compiled_cache:
             return self._compiled_cache[key]
-        sampler = SamplerConfig(
-            steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
-            method=self.cfg.sampler.method,
-            # a configured pruned time grid only applies at its own step count
-            # (per-request nfe_step overrides fall back to the sway grid)
-            time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
-            cfg_interval=self.cfg.sampler.cfg_interval,
-            cfg_cache_period=self.cfg.sampler.cfg_cache_period,
-            cfg_cache_mode=self.cfg.sampler.cfg_cache_mode,
-            cfg_null_reuse=self.cfg.sampler.cfg_null_reuse,
-        )
+        sampler = self._request_sampler(steps, cfg_strength)
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
             mel_out = sample_cfm(
@@ -256,15 +259,7 @@ class TTSEngine:
         key = (n, b, steps, cfg_strength)
         if key in self._edit_cache:
             return self._edit_cache[key]
-        sampler = SamplerConfig(
-            steps=steps, cfg_strength=cfg_strength, sway_sampling_coef=self.cfg.sampler.sway_sampling_coef,
-            method=self.cfg.sampler.method,
-            time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
-            cfg_interval=self.cfg.sampler.cfg_interval,
-            cfg_cache_period=self.cfg.sampler.cfg_cache_period,
-            cfg_cache_mode=self.cfg.sampler.cfg_cache_mode,
-            cfg_null_reuse=self.cfg.sampler.cfg_null_reuse,
-        )
+        sampler = self._request_sampler(steps, cfg_strength)
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, edit_mask, out_start, seeds):
             mel_out = sample_cfm(

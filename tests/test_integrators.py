@@ -138,6 +138,29 @@ def test_engine_request_nfe_is_evals(tmp_path):
     assert plan_32.rows[0].steps == 16  # 32 evals at 2 evals/interval
 
 
+def test_request_sampler_inherits_every_knob():
+    """Regression: _compiled once rebuilt SamplerConfig field-by-field and
+    silently dropped cfg_cache_mode/cfg_null_reuse; the per-request sampler
+    must inherit every configured knob except (steps, cfg_strength)."""
+    from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
+    from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+    from f5tts_tpu.ops.mel import MelConfig
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    base = SamplerConfig(method="euler", steps=32, cfg_cache_period=2,
+                         cfg_cache_mode="extrapolate", sway_sampling_coef=-0.7)
+    cfg = EngineConfig(mel=MelConfig(n_mels=20),
+                       vocoder=VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=1),
+                       sampler=base, compute_dtype="float32")
+    eng = TTSEngine(init_dit(jax.random.PRNGKey(0), TINY), TINY,
+                    init_vocos(jax.random.PRNGKey(1), cfg.vocoder),
+                    Tokenizer({" ": 0, "a": 1}), cfg)
+    s = eng._request_sampler(16, 1.5)
+    assert (s.steps, s.cfg_strength) == (16, 1.5)
+    assert (s.method, s.cfg_cache_period, s.cfg_cache_mode, s.sway_sampling_coef) == (
+        "euler", 2, "extrapolate", -0.7)
+
+
 def test_settings_validate_ode_method():
     from f5tts_tpu.utils.config import Settings
 
