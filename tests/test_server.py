@@ -458,3 +458,32 @@ def test_voice_slot_management(client, tmp_path):
         _req(client, "DELETE", f"/v1/voices/{name}")
     resp, body = _req(client, "DELETE", f"/v1/voices/{remaining[-1]}")
     assert resp.status == 400
+
+
+def test_server_sampler_env_knobs_build_the_engine_sampler():
+    """F5TPU_ODE_METHOD / F5TPU_NFE / F5TPU_CFG_CACHE reach the engine's
+    sampler: euler-only knobs force euler, nfe counts evals per branch, and
+    the default (no knobs) is the certified ralston recipe."""
+    from f5tts_tpu.serve.server import ModelService
+    from f5tts_tpu.utils.config import Settings
+
+    svc = ModelService(Settings(demo_tiny=True, warmup=False))
+    svc.load()
+    assert (svc.engine.cfg.sampler.method, svc.engine.cfg.sampler.steps) == ("ralston", 10)
+    svc.unload()
+
+    svc = ModelService(Settings(demo_tiny=True, warmup=False, ode_method="euler", nfe=32))
+    svc.load()
+    assert (svc.engine.cfg.sampler.method, svc.engine.cfg.sampler.steps) == ("euler", 32)
+    svc.unload()
+
+    svc = ModelService(Settings(demo_tiny=True, warmup=False, cfg_cache=4))
+    svc.load()
+    s = svc.engine.cfg.sampler
+    assert (s.method, s.steps, s.cfg_cache_period) == ("euler", 32, 4)
+    svc.unload()
+
+    svc = ModelService(Settings(demo_tiny=True, warmup=False, ode_method="midpoint", nfe=16))
+    svc.load()
+    assert (svc.engine.cfg.sampler.method, svc.engine.cfg.sampler.steps) == ("midpoint", 8)
+    svc.unload()
