@@ -38,7 +38,13 @@ def main():
     # default = the certified serving recipe (ralston RK2 @ NFE 20/branch,
     # BENCH.md round-2 quality certification). The exact reference recipe is
     # BENCH_METHOD=euler BENCH_NFE=32. BENCH_NFE counts model evals/branch.
-    method = os.environ.get("BENCH_METHOD", "ralston")
+    method = os.environ.get("BENCH_METHOD")
+    if method is None:
+        # guidance caching / interval are euler-path knobs; mirror the
+        # CLI/server behavior (cli/infer.py, serve/server.py force euler for
+        # them) instead of raising against the ralston default
+        euler_knobs = int(os.environ.get("BENCH_CFG_CACHE", 1)) > 1 or os.environ.get("BENCH_CFG_INTERVAL")
+        method = "euler" if euler_knobs else "ralston"
     nfe = int(os.environ.get("BENCH_NFE", 0)) or DEFAULT_NFE[method]
     steps = nfe_to_steps(nfe, method)
     ref_frames = int(os.environ.get("BENCH_REF_FRAMES", 128))

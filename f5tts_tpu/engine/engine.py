@@ -76,6 +76,28 @@ class EngineConfig:
     # net long-form throughput (measured in BENCH.md config #4).
     # None = exact reference chunking contract (~25 s chunks).
     chunk_frames_budget: int | None = 1024
+    # Floor on generated frames per chunk when chunk_frames_budget is set:
+    # long references (clip cap is 15 s ~ 1406 frames, audio/preprocess.py)
+    # can leave the configured bucket little or no room to generate, which
+    # would degenerate chunking to one clause per solve; the budget instead
+    # relaxes to the smallest duration bucket leaving at least this much
+    # generation room (see _max_chunk_chars).
+    min_chunk_gen_frames: int = 256
+
+    def __post_init__(self):
+        # Normalize solve_batch_caps: drop entries for absent duration buckets
+        # and snap each cap DOWN to a real batch bucket. synthesize_rows
+        # re-buckets capped groups with _bucket(len(sub), batch_buckets), so a
+        # non-bucket cap would pad every group back UP to the next bucket —
+        # running the big-batch solve once per group (multiplying work) and
+        # paying a serve-time compile that warmup (bb=min(bb, cap)) never saw.
+        caps = []
+        for nb, cap in self.solve_batch_caps:
+            if nb not in self.duration_buckets:
+                continue
+            legal = [b for b in self.batch_buckets if b <= cap]
+            caps.append((nb, max(legal) if legal else min(self.batch_buckets)))
+        object.__setattr__(self, "solve_batch_caps", tuple(caps))
 
 
 def _bucket(v: int, buckets: tuple[int, ...]) -> int:
@@ -190,10 +212,23 @@ class TTSEngine:
         chunk_frames_budget: invert the duration heuristic (utils_infer.py:446-453)
         so ref + generated frames of a full chunk fit the target bucket."""
         max_chars = max_chars_for_ref(ref_text, ref_secs)
-        if self.cfg.chunk_frames_budget is not None:
-            ref_bytes = max(len(ref_text.encode("utf-8")), 1)
-            budget_frames = max(self.cfg.chunk_frames_budget - ref_frames, 1)
-            max_chars = min(max_chars, int(budget_frames * ref_bytes / max(ref_frames, 1) * speed))
+        budget = self.cfg.chunk_frames_budget
+        if budget is not None:
+            if budget - ref_frames < self.cfg.min_chunk_gen_frames:
+                # long reference: the configured bucket leaves (almost) no
+                # room to generate — chunking would degenerate to one clause
+                # per solve, each re-paying the full reference. Relax to the
+                # smallest duration bucket with real generation room; if none
+                # exists, drop the cap (pure reference byte budget).
+                budget = next(
+                    (b for b in self.cfg.duration_buckets
+                     if b - ref_frames >= self.cfg.min_chunk_gen_frames),
+                    None,
+                )
+            if budget is not None:
+                ref_bytes = max(len(ref_text.encode("utf-8")), 1)
+                budget_frames = max(budget - ref_frames, 1)
+                max_chars = min(max_chars, int(budget_frames * ref_bytes / max(ref_frames, 1) * speed))
         return max(max_chars, 1)
 
     def _wave_samples(self, n_frames: int) -> int:
@@ -367,11 +402,15 @@ class TTSEngine:
             wave = wave * rms / self.cfg.target_rms
         return wave, TARGET_SR, gen_mel
 
-    def warmup(self, buckets: list[tuple[int, int]] | None = None, steps: int | None = None,
+    def warmup(self, buckets: list[tuple[int, int]] | None = None, nfe_step: int | None = None,
                cfg_strength: float | None = None) -> None:
         """Pre-compile (duration, batch) buckets so the first request doesn't
-        pay XLA compile latency (the reference has no AOT story at all)."""
-        steps = steps if steps is not None else self.cfg.sampler.steps
+        pay XLA compile latency (the reference has no AOT story at all).
+
+        ``nfe_step`` uses the same unit as ``prepare_request``'s knob — model
+        evals per guidance branch — so warming up with the number you serve
+        with precompiles the shape requests actually run."""
+        steps = nfe_to_steps(nfe_step, self.cfg.sampler.method) if nfe_step is not None else self.cfg.sampler.steps
         guidance = cfg_strength if cfg_strength is not None else self.cfg.sampler.cfg_strength
         buckets = buckets or [(self.cfg.duration_buckets[0], self.cfg.batch_buckets[0])]
         caps = dict(self.cfg.solve_batch_caps)

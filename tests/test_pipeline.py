@@ -205,3 +205,56 @@ def test_chunk_frames_budget_caps_row_durations():
     joined = lambda plan: "".join(r.text for r in plan.rows).replace(" ", "")
     ref_text_bytes = "areferencesentence."  # prepended per row
     assert joined(plan_cap).replace(ref_text_bytes, "") == joined(plan_ref).replace(ref_text_bytes, "")
+
+
+def test_chunk_frames_budget_relaxes_for_long_refs():
+    """A reference near/over the chunk_frames_budget (clip cap is 15 s ~ 1406
+    frames vs the 1024 default) must NOT degenerate chunking to one clause per
+    solve: the budget relaxes to the smallest duration bucket leaving at least
+    min_chunk_gen_frames of generation room (ADVICE r2 high finding)."""
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    voc_cfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=2)
+    tiny = DiTConfig(dim=64, depth=1, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+                     text_num_embeds=90, text_dim=32, conv_layers=1, max_pos=4096)
+    engine = TTSEngine(
+        init_dit(jax.random.PRNGKey(0), tiny), tiny,
+        init_vocos(jax.random.PRNGKey(1), voc_cfg),
+        Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}}),
+        EngineConfig(mel=MelConfig(n_mels=20), vocoder=voc_cfg,
+                     sampler=SamplerConfig(steps=1), text_pad=512,
+                     compute_dtype="float32", chunk_frames_budget=1024),
+    )
+    rng = np.random.default_rng(0)
+    paragraph = ("The quick brown fox jumps over the lazy dog, near the river bank. " * 60)
+    # ~40 bytes/s speech rate, typical of the bundled demo voice
+    for ref_secs in (12.0, 15.0):
+        ref = (rng.standard_normal(int(ref_secs * 24000)) * 0.1).astype(np.float32)
+        ref_text = "word " * int(ref_secs * 8)
+        ref_frames = int(ref_secs * 24000) // 256  # 1125 / 1406 frames
+        assert 1024 - ref_frames < engine.cfg.min_chunk_gen_frames  # the cliff case
+        plan = engine.prepare_request(paragraph, ref, 24000, ref_text)
+        # relaxed budget: chunks target the smallest workable bucket, so each
+        # chunk carries a real amount of generated speech, not one clause
+        gen_frames = [r.duration - r.ref_frames for r in plan.rows[:-1]]  # last may be short
+        assert all(g >= engine.cfg.min_chunk_gen_frames // 2 for g in gen_frames), gen_frames
+        # and far fewer solves than clauses (the degenerate mode was 1 clause/chunk)
+        n_clauses = paragraph.count(",") + paragraph.count(".")
+        assert len(plan.rows) < n_clauses / 3
+        # rows still fit the model's max duration
+        assert max(r.duration for r in plan.rows) <= engine.cfg.max_duration
+
+
+def test_solve_batch_caps_normalized_to_buckets():
+    """Non-bucket cap values would pad each capped group back up to a larger
+    bucket (multiplying solve work) and diverge from warmup's compiled shapes
+    — normalized at construction: caps snap DOWN to real batch buckets, caps
+    for absent duration buckets drop (ADVICE r2)."""
+    # cap 8 with batch_buckets=(32,): no bucket <= 8 -> snaps to the smallest
+    assert EngineConfig(batch_buckets=(32,), solve_batch_caps=((1024, 8),)).solve_batch_caps == ((1024, 32),)
+    # cap 12 snaps down to the 8 bucket
+    assert EngineConfig(solve_batch_caps=((1024, 12),)).solve_batch_caps == ((1024, 8),)
+    # absent duration bucket drops (custom-bucket configs inherit the default cap)
+    assert EngineConfig(duration_buckets=(512, 2048), solve_batch_caps=((1024, 8),)).solve_batch_caps == ()
+    # the shipping default is already normal
+    assert EngineConfig().solve_batch_caps == ((1024, 8),)
