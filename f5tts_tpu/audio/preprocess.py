@@ -24,93 +24,147 @@ def rms_dbfs(x: np.ndarray) -> float:
     return 20.0 * np.log10(rms)
 
 
-def _frame_dbfs(audio: np.ndarray, sr: int, win_ms: int = 10) -> np.ndarray:
-    win = max(int(sr * win_ms / 1000), 1)
-    n = len(audio) // win
-    if n == 0:
-        return np.array([rms_dbfs(audio)])
-    frames = audio[: n * win].reshape(n, win)
-    rms = np.sqrt(np.mean(np.square(frames), axis=1))
-    with np.errstate(divide="ignore"):
-        return 20.0 * np.log10(np.maximum(rms, 1e-12))
+def _ms_len(audio: np.ndarray, sr: int) -> int:
+    """pydub ``len(seg)``: milliseconds, rounded."""
+    return round(1000 * len(audio) / sr)
 
 
-def detect_nonsilent(audio: np.ndarray, sr: int, min_silence_ms: int, thresh_db: float, seek_ms: int = 10):
-    """(start, end) sample ranges of non-silent spans (pydub.silence semantics)."""
-    db = _frame_dbfs(audio, sr, seek_ms)
-    step = int(sr * seek_ms / 1000)
-    silent = db < thresh_db
-    spans = []
-    start = None
-    min_frames = max(min_silence_ms // seek_ms, 1)
-    i = 0
-    n = len(silent)
-    while i < n:
-        if not silent[i]:
-            if start is None:
-                start = i
-            i += 1
-        else:
-            j = i
-            while j < n and silent[j]:
-                j += 1
-            if start is not None and (j - i) >= min_frames:
-                spans.append((start * step, i * step))
-                start = None
-            elif start is None:
-                pass
-            i = j
-    if start is not None:
-        spans.append((start * step, len(audio)))
-    return spans
+def _ms_idx(ms: float, sr: int) -> int:
+    """pydub position parsing: sample index of a millisecond offset."""
+    return int(ms * (sr / 1000.0))
 
 
-def split_on_silence(audio: np.ndarray, sr: int, min_silence_ms: int, thresh_db: float, keep_silence_ms: int):
-    keep = int(sr * keep_silence_ms / 1000)
-    segs = []
-    for s, e in detect_nonsilent(audio, sr, min_silence_ms, thresh_db):
-        segs.append(audio[max(0, s - keep) : min(len(audio), e + keep)])
-    return segs
+def _ms_slice(audio: np.ndarray, sr: int, a_ms: float, b_ms: float) -> np.ndarray:
+    return audio[_ms_idx(a_ms, sr) : _ms_idx(b_ms, sr)]
+
+
+def detect_silence(audio: np.ndarray, sr: int, min_silence_ms: int = 1000,
+                   thresh_db: float = -16.0, seek_ms: int = 1) -> list[list[int]]:
+    """Silent ``[start_ms, end_ms]`` ranges, pydub ``silence.detect_silence``
+    semantics (the reference's clipping substrate, ``utils_infer.py:289-316``):
+    a window of ``min_silence_ms`` is silent when its AGGREGATE rms is at or
+    below the threshold amplitude; overlapping/nearby silent windows merge.
+    Vectorized over a sample-squared cumsum instead of pydub's per-window
+    slices."""
+    seg_ms = _ms_len(audio, sr)
+    if seg_ms < min_silence_ms:
+        return []
+    last_start = seg_ms - min_silence_ms
+    starts = np.arange(0, last_start + 1, seek_ms)
+    if last_start % seek_ms:
+        starts = np.concatenate([starts, [last_start]])
+    csum = np.concatenate([[0.0], np.cumsum(np.square(audio, dtype=np.float64))])
+    a = (starts * (sr / 1000.0)).astype(np.int64)
+    b = ((starts + min_silence_ms) * (sr / 1000.0)).astype(np.int64)
+    b = np.minimum(b, len(audio))
+    n = np.maximum(b - a, 1)
+    rms = np.sqrt((csum[b] - csum[a]) / n)
+    thresh_amp = 10.0 ** (thresh_db / 20.0)
+    silence_starts = starts[rms <= thresh_amp].tolist()
+    if not silence_starts:
+        return []
+    # merge: continuous windows extend a range; a gap shorter than the window
+    # stays merged (pydub's exact rule)
+    ranges: list[list[int]] = []
+    prev = cur_start = silence_starts[0]
+    for s in silence_starts[1:]:
+        continuous = s == prev + seek_ms
+        has_gap = s > prev + min_silence_ms
+        if not continuous and has_gap:
+            ranges.append([cur_start, prev + min_silence_ms])
+            cur_start = s
+        prev = s
+    ranges.append([cur_start, prev + min_silence_ms])
+    return ranges
+
+
+def detect_nonsilent(audio: np.ndarray, sr: int, min_silence_ms: int = 1000,
+                     thresh_db: float = -16.0, seek_ms: int = 1) -> list[list[int]]:
+    """Non-silent ``[start_ms, end_ms]`` ranges (complement of detect_silence)."""
+    silent = detect_silence(audio, sr, min_silence_ms, thresh_db, seek_ms)
+    seg_ms = _ms_len(audio, sr)
+    if not silent:
+        return [[0, seg_ms]]
+    if silent[0] == [0, seg_ms]:
+        return []
+    prev_end = 0
+    out = []
+    for s, e in silent:
+        out.append([prev_end, s])
+        prev_end = e
+    if prev_end != seg_ms:
+        out.append([prev_end, seg_ms])
+    if out and out[0] == [0, 0]:
+        out.pop(0)
+    return out
+
+
+def split_on_silence(audio: np.ndarray, sr: int, min_silence_ms: int, thresh_db: float,
+                     keep_silence_ms: int, seek_ms: int = 1) -> list[np.ndarray]:
+    """pydub ``silence.split_on_silence``: non-silent chunks padded by
+    ``keep_silence_ms``; overlapping pads meet at the midpoint."""
+    ranges = [
+        [s - keep_silence_ms, e + keep_silence_ms]
+        for s, e in detect_nonsilent(audio, sr, min_silence_ms, thresh_db, seek_ms)
+    ]
+    for r1, r2 in zip(ranges, ranges[1:]):
+        if r2[0] < r1[1]:
+            r1[1] = (r1[1] + r2[0]) // 2
+            r2[0] = r1[1]
+    seg_ms = _ms_len(audio, sr)
+    return [_ms_slice(audio, sr, max(s, 0), min(e, seg_ms)) for s, e in ranges]
+
+
+def detect_leading_silence(audio: np.ndarray, sr: int, thresh_db: float = -50.0,
+                           chunk_ms: int = 10) -> int:
+    """Leading silence in ms (pydub: 10 ms chunks whose dBFS < threshold)."""
+    seg_ms = _ms_len(audio, sr)
+    trim = 0
+    while trim < seg_ms and rms_dbfs(_ms_slice(audio, sr, trim, trim + chunk_ms)) < thresh_db:
+        trim += chunk_ms
+    return min(trim, seg_ms)
 
 
 def remove_silence_edges(audio: np.ndarray, sr: int, thresh_db: float = -42.0) -> np.ndarray:
-    """Trim leading/trailing silence (``utils_infer.py:263-276``)."""
-    db = _frame_dbfs(audio, sr, 1)
-    step = max(int(sr / 1000), 1)
-    voiced = np.nonzero(db > thresh_db)[0]
-    if voiced.size == 0:
-        return audio[:0]
-    start = voiced[0] * step
-    end = min((voiced[-1] + 1) * step, len(audio))
-    return audio[start:end]
+    """Trim leading/trailing silence (``utils_infer.py:263-276``): leading via
+    detect_leading_silence, trailing via per-1 ms dBFS walk from the end."""
+    audio = audio[_ms_idx(detect_leading_silence(audio, sr, thresh_db), sr):]
+    dur_s = len(audio) / sr  # pydub duration_seconds (exact, not ms-rounded)
+    for ms in range(_ms_len(audio, sr) - 1, -1, -1):
+        if rms_dbfs(_ms_slice(audio, sr, ms, ms + 1)) > thresh_db:
+            break
+        dur_s -= 0.001
+    return audio[: _ms_idx(int(dur_s * 1000), sr)]
 
 
 def clip_ref_audio(audio: np.ndarray, sr: int, max_ms: int = 15000) -> np.ndarray:
     """Two-stage silence-aware clip to <= 15 s + edge trim + 50 ms pad
-    (``utils_infer.py:287-318``)."""
+    (``utils_infer.py:287-318``), pydub-ms-faithful."""
 
     def assemble(segs):
         out = np.zeros(0, dtype=audio.dtype)
         for seg in segs:
-            if len(out) > 6000 * sr // 1000 and (len(out) + len(seg)) > max_ms * sr // 1000:
+            if _ms_len(out, sr) > 6000 and _ms_len(np.concatenate([out, seg]), sr) > max_ms:
                 break
             out = np.concatenate([out, seg])
         return out
 
-    clipped = assemble(split_on_silence(audio, sr, 1000, -50.0, 1000))
-    if len(clipped) > max_ms * sr // 1000:
-        clipped = assemble(split_on_silence(audio, sr, 100, -40.0, 1000))
-    if len(clipped) > max_ms * sr // 1000 or len(clipped) == 0:
-        clipped = (clipped if len(clipped) else audio)[: max_ms * sr // 1000]
+    clipped = assemble(split_on_silence(audio, sr, 1000, -50.0, 1000, seek_ms=10))
+    if _ms_len(clipped, sr) > max_ms:
+        clipped = assemble(split_on_silence(audio, sr, 100, -40.0, 1000, seek_ms=10))
+    if _ms_len(clipped, sr) > max_ms:
+        clipped = _ms_slice(clipped, sr, 0, max_ms)
+    if len(clipped) == 0:  # guard beyond the reference: an all-silent ref stays usable
+        clipped = _ms_slice(audio, sr, 0, max_ms)
     clipped = remove_silence_edges(clipped, sr)
-    return np.concatenate([clipped, np.zeros(int(sr * 0.05), dtype=audio.dtype)])
+    return np.concatenate([clipped, np.zeros(_ms_idx(50, sr), dtype=audio.dtype)])
 
 
 def remove_long_silences(audio: np.ndarray, sr: int, min_silence_ms: int = 1000,
                          thresh_db: float = -50.0, keep_silence_ms: int = 500) -> np.ndarray:
     """Collapse long internal silences (``utils_infer.py:530-539``:
     remove_silence_for_generated_wav semantics — split on silence, re-concat)."""
-    segs = split_on_silence(audio, sr, min_silence_ms, thresh_db, keep_silence_ms)
+    segs = split_on_silence(audio, sr, min_silence_ms, thresh_db, keep_silence_ms, seek_ms=10)
     if not segs:
         return audio[:0]
     return np.concatenate(segs)

@@ -201,6 +201,11 @@ def main():
     p.add_argument("--attn", default=None, choices=[None, "xla", "flash"])
     p.add_argument("--configs", default=",".join(CONFIGS))
     p.add_argument("--out", default="QUALITY.json")
+    p.add_argument("--solve-cache", default=None,
+                   help="directory to persist per-config solved mels (npz); a crashed "
+                        "run (TPU worker restarts happen) resumes instead of resolving. "
+                        "Weights must be deterministic for the cache to be valid "
+                        "(fixed seeds / same --toy-train).")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a jax platform (env vars are pre-empted by sitecustomize)")
     args = p.parse_args()
@@ -254,7 +259,16 @@ def main():
         names.insert(0, "base")
     outputs = {}
     for name in names:
+        if args.solve_cache:
+            os.makedirs(args.solve_cache, exist_ok=True)
+            cpath = os.path.join(args.solve_cache, f"{name}.npy")
+            if os.path.exists(cpath):
+                outputs[name] = np.load(cpath)
+                print(f"loaded {name:>14} from solve cache", flush=True)
+                continue
         outputs[name], dt = solve(CONFIGS[name])
+        if args.solve_cache:
+            np.save(cpath, outputs[name])
         print(f"solved {name:>14} in {dt:.1f}s (incl. compile)", flush=True)
 
     base = outputs["base"]

@@ -165,6 +165,194 @@ class MelSpectrogram(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# pydub stub (int16-backed AudioSegment + pydub.silence algorithms, restated
+# from the upstream library's documented semantics; used only so the
+# reference's infer/utils_infer.py L2 pipeline can EXECUTE here — the goldens
+# compare it against f5tts_tpu.audio.preprocess's independent vectorized
+# implementation)
+# ---------------------------------------------------------------------------
+
+
+class AudioSegment:
+    def __init__(self, samples: np.ndarray, frame_rate: int):
+        self._samples = np.asarray(samples, np.int16)
+        self.frame_rate = int(frame_rate)
+
+    # --- constructors
+    @classmethod
+    def from_file(cls, path):
+        import wave
+
+        with wave.open(str(path), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            data = np.frombuffer(w.readframes(n), dtype=np.int16)
+            if w.getnchannels() > 1:
+                data = data.reshape(-1, w.getnchannels()).mean(axis=1).astype(np.int16)
+        return cls(data, sr)
+
+    @classmethod
+    def silent(cls, duration=1000, frame_rate=11025):
+        return cls(np.zeros(int(frame_rate * duration / 1000), np.int16), frame_rate)
+
+    # --- core protocol (pydub: lengths/indices in milliseconds)
+    def __len__(self):
+        return round(1000 * len(self._samples) / self.frame_rate)
+
+    def _ms_to_idx(self, ms):
+        return int(ms * (self.frame_rate / 1000.0))
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            a = 0 if key.start is None else key.start
+            b = len(self) if key.stop is None else key.stop
+            if a < 0:
+                a = len(self) + a
+            if b < 0:
+                b = len(self) + b
+            return AudioSegment(self._samples[self._ms_to_idx(a) : self._ms_to_idx(b)], self.frame_rate)
+        return self[key : key + 1]  # one-millisecond frame (pydub iteration unit)
+
+    def __add__(self, other):
+        if isinstance(other, AudioSegment):
+            # pydub _sync: both operands convert to the higher frame rate
+            rate = max(self.frame_rate, other.frame_rate)
+            a, b = self._resampled(rate), other._resampled(rate)
+            return AudioSegment(np.concatenate([a._samples, b._samples]), rate)
+        raise NotImplementedError("gain arithmetic not needed by the goldens")
+
+    def _resampled(self, rate):
+        if rate == self.frame_rate or len(self._samples) == 0:
+            return AudioSegment(self._samples, rate)
+        if not self._samples.any():  # silence: duration-preserving zeros
+            n = int(round(len(self._samples) * rate / self.frame_rate))
+            return AudioSegment(np.zeros(n, np.int16), rate)
+        from scipy.signal import resample_poly
+
+        g = np.gcd(rate, self.frame_rate)
+        out = resample_poly(self._samples.astype(np.float64), rate // g, self.frame_rate // g)
+        return AudioSegment(np.clip(out, -32768, 32767).astype(np.int16), rate)
+
+    def __radd__(self, other):  # sum() support
+        if other == 0:
+            return self
+        raise NotImplementedError
+
+    # --- analysis
+    @property
+    def rms(self):
+        if len(self._samples) == 0:
+            return 0
+        return int(np.sqrt(np.mean(np.square(self._samples.astype(np.float64)))))
+
+    @property
+    def max_possible_amplitude(self):
+        return 32768.0
+
+    @property
+    def dBFS(self):
+        if self.rms == 0:
+            return -float("inf")
+        return 20.0 * np.log10(self.rms / self.max_possible_amplitude)
+
+    @property
+    def duration_seconds(self):
+        return len(self._samples) / self.frame_rate
+
+    def export(self, path, format="wav"):
+        import wave
+
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(self.frame_rate)
+            w.writeframes(self._samples.tobytes())
+
+    def numpy(self) -> np.ndarray:  # test helper (not part of pydub's API)
+        return self._samples.astype(np.float32) / 32768.0
+
+
+def _db_to_float(db):
+    return 10.0 ** (db / 20.0)
+
+
+def detect_silence_pd(audio_segment, min_silence_len=1000, silence_thresh=-16, seek_step=1):
+    seg_len = len(audio_segment)
+    if seg_len < min_silence_len:
+        return []
+    silence_thresh_amp = _db_to_float(silence_thresh) * audio_segment.max_possible_amplitude
+    silence_starts = []
+    last_slice_start = seg_len - min_silence_len
+    slice_starts = list(range(0, last_slice_start + 1, seek_step))
+    if last_slice_start % seek_step:
+        slice_starts.append(last_slice_start)
+    for i in slice_starts:
+        if audio_segment[i : i + min_silence_len].rms <= silence_thresh_amp:
+            silence_starts.append(i)
+    if not silence_starts:
+        return []
+    silent_ranges = []
+    prev_i = silence_starts.pop(0)
+    current_range_start = prev_i
+    for silence_start_i in silence_starts:
+        continuous = silence_start_i == prev_i + seek_step
+        silence_has_gap = silence_start_i > (prev_i + min_silence_len)
+        if not continuous and silence_has_gap:
+            silent_ranges.append([current_range_start, prev_i + min_silence_len])
+            current_range_start = silence_start_i
+        prev_i = silence_start_i
+    silent_ranges.append([current_range_start, prev_i + min_silence_len])
+    return silent_ranges
+
+
+def detect_nonsilent_pd(audio_segment, min_silence_len=1000, silence_thresh=-16, seek_step=1):
+    silent_ranges = detect_silence_pd(audio_segment, min_silence_len, silence_thresh, seek_step)
+    len_seg = len(audio_segment)
+    if not silent_ranges:
+        return [[0, len_seg]]
+    if silent_ranges[0][0] == 0 and silent_ranges[0][1] == len_seg:
+        return []
+    prev_end_i = 0
+    nonsilent_ranges = []
+    for start_i, end_i in silent_ranges:
+        nonsilent_ranges.append([prev_end_i, start_i])
+        prev_end_i = end_i
+    if end_i != len_seg:
+        nonsilent_ranges.append([prev_end_i, len_seg])
+    if nonsilent_ranges[0] == [0, 0]:
+        nonsilent_ranges.pop(0)
+    return nonsilent_ranges
+
+
+def split_on_silence_pd(audio_segment, min_silence_len=1000, silence_thresh=-16,
+                        keep_silence=100, seek_step=1):
+    if isinstance(keep_silence, bool):
+        keep_silence = len(audio_segment) if keep_silence else 0
+    output_ranges = [
+        [start - keep_silence, end + keep_silence]
+        for (start, end) in detect_nonsilent_pd(audio_segment, min_silence_len, silence_thresh, seek_step)
+    ]
+    for range_i, range_ii in zip(output_ranges, output_ranges[1:]):
+        last_end = range_i[1]
+        next_start = range_ii[0]
+        if next_start < last_end:
+            range_i[1] = (last_end + next_start) // 2
+            range_ii[0] = range_i[1]
+    return [
+        audio_segment[max(start, 0) : min(end, len(audio_segment))]
+        for start, end in output_ranges
+    ]
+
+
+def detect_leading_silence_pd(sound, silence_threshold=-50.0, chunk_size=10):
+    trim_ms = 0
+    assert chunk_size > 0
+    while sound[trim_ms : trim_ms + chunk_size].dBFS < silence_threshold and trim_ms < len(sound):
+        trim_ms += chunk_size
+    return min(trim_ms, len(sound))
+
+
+# ---------------------------------------------------------------------------
 # loader
 # ---------------------------------------------------------------------------
 
@@ -214,13 +402,83 @@ def _install_stubs():
     sys.modules.setdefault(
         "jieba", _module("jieba", initialize=lambda *a, **k: None, cut=lambda s: [s])
     )
+    # lazy_pinyin passes non-Chinese input through unchanged (upstream
+    # pypinyin behavior for errors="default" on non-Han chars) — the goldens
+    # never exercise actual Chinese G2P, but Indic scripts are 3-byte UTF-8
+    # and reach convert_char_to_pinyin's "pure east asian" branch
     sys.modules.setdefault(
-        "pypinyin", _module("pypinyin", lazy_pinyin=None, Style=types.SimpleNamespace(TONE3=None))
+        "pypinyin",
+        _module("pypinyin", lazy_pinyin=lambda seg, style=None, tone_sandhi=False: list(seg),
+                Style=types.SimpleNamespace(TONE3=None)),
     )
 
     # mask the trainer chain (wandb/ema_pytorch/datasets are not installed;
     # f5_tts.model.__init__ imports Trainer unconditionally)
     sys.modules.setdefault("f5_tts.model.trainer", _module("f5_tts.model.trainer", Trainer=None))
+
+
+def _install_infer_stubs():
+    """Extra stubs for the L2 pipeline (``f5_tts/infer/utils_infer.py``):
+    pydub (AudioSegment + silence algorithms above), vocos (import-time
+    placeholder — load_vocoder is never executed by goldens), torchaudio.load
+    / torchaudio.transforms.Resample."""
+    silence_mod = _module(
+        "pydub.silence",
+        detect_silence=detect_silence_pd,
+        detect_nonsilent=detect_nonsilent_pd,
+        split_on_silence=split_on_silence_pd,
+        detect_leading_silence=detect_leading_silence_pd,
+    )
+    pydub = _module("pydub", AudioSegment=AudioSegment, silence=silence_mod)
+    sys.modules.setdefault("pydub", pydub)
+    sys.modules.setdefault("pydub.silence", silence_mod)
+
+    class _Vocos:  # pragma: no cover - placeholder only
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            raise RuntimeError("vocos stub: not available in tests")
+
+        from_hparams = from_pretrained
+
+    sys.modules.setdefault("vocos", _module("vocos", Vocos=_Vocos))
+
+    ta = sys.modules.get("torchaudio")
+    if ta is not None and not hasattr(ta, "load"):
+        def _load(path):
+            seg = AudioSegment.from_file(path)
+            return torch.from_numpy(seg.numpy()).unsqueeze(0), seg.frame_rate
+
+        class _Resample(nn.Module):
+            def __init__(self, orig_freq, new_freq):
+                super().__init__()
+                self.orig_freq, self.new_freq = orig_freq, new_freq
+
+            def forward(self, wav):
+                from scipy.signal import resample_poly
+
+                g = np.gcd(self.orig_freq, self.new_freq)
+                out = resample_poly(wav.numpy(), self.new_freq // g, self.orig_freq // g, axis=-1)
+                return torch.from_numpy(np.ascontiguousarray(out, np.float32))
+
+        ta.load = _load
+        ta.transforms.Resample = _Resample
+
+
+def load_reference_infer():
+    """Returns the ACTUAL ``f5_tts.infer.utils_infer`` module of the
+    reference tree (L2 pipeline: chunking, duration heuristic, batch loop,
+    crossfade stitch, ref-audio preprocessing)."""
+    if not reference_available():
+        import pytest
+
+        pytest.skip("reference tree not mounted at /root/reference")
+    _install_stubs()
+    _install_infer_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import f5_tts.infer.utils_infer as ref_infer  # noqa: PLC0415
+
+    return ref_infer
 
 
 def load_reference():
