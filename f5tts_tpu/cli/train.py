@@ -59,6 +59,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--save-every", type=int, default=10000)
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="synthesize fixed prompts from the EMA weights every N updates "
+                        "(reference trainer.py:341-366 quality signal); 0 = off")
+    p.add_argument("--sample-nfe", type=int, default=16)
+    p.add_argument("--sample-vocoder", default="",
+                   help="converted Vocos .npz: the hook also writes 24 kHz wavs "
+                        "(without it: generated-mel .npy + RMS metrics only)")
     p.add_argument("--smoke", action="store_true", help="tiny model + synthetic data, a few steps")
     p.add_argument("--train-config", default="", help="YAML training config (configs/*.yaml); flags override")
     args = p.parse_args(argv)
@@ -114,18 +121,42 @@ def main(argv=None):
 
         model_cfg = CFMConfig(model=dataclasses.replace(model_cfg.model, attn_impl=attn))
 
+    logger = lambda **kw: print(json.dumps(kw), flush=True)  # noqa: E731
+
+    def build_sample_hook(first_batch):
+        if not args.sample_every:
+            return None
+        import os
+
+        from f5tts_tpu.train.sample_hook import make_sample_hook, prompts_from_batch
+
+        vocoder = None
+        if args.sample_vocoder:
+            from f5tts_tpu.models.convert import load_params_npz
+            from f5tts_tpu.models.vocos import VocosConfig
+
+            vocoder = (load_params_npz(args.sample_vocoder), VocosConfig(input_channels=model_cfg.model.mel_dim))
+        return make_sample_hook(
+            model_cfg, os.path.join(args.checkpoint_dir, "samples"),
+            prompts_from_batch(first_batch), nfe_step=args.sample_nfe,
+            vocoder=vocoder, logger=logger,
+        )
+
     trainer = Trainer(
         model_cfg, train_cfg, mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         checkpoint_dir=args.checkpoint_dir, log_every=args.log_every, save_every=args.save_every,
-        logger=lambda **kw: print(json.dumps(kw), flush=True),
+        logger=logger, sample_every=args.sample_every or None,
     )
     state, start = trainer.init_or_resume()
 
     if args.smoke:
         from f5tts_tpu.train.data import synthetic_batches
 
-        batches = synthetic_batches(model_cfg.model, frames=512, batch=2, n_batches=3, seed=args.seed)
+        # batch rows must divide the data-mesh axis when a mesh is in play
+        smoke_batch = max(2, jax.device_count()) if mesh is not None else 2
+        batches = list(synthetic_batches(model_cfg.model, frames=512, batch=smoke_batch, n_batches=3, seed=args.seed))
+        trainer.sample_hook = build_sample_hook(batches[0])
         trainer.log_every = 1
         state = trainer.fit(state, batches, total_updates=3)
         print(f"smoke ok: step={int(state['step'])}")
@@ -138,6 +169,13 @@ def main(argv=None):
         batch_frames=args.batch_frames, max_samples=args.max_samples,
         seed=args.seed, skip_batches=start,
     )
+    if args.sample_every:
+        # peek the first batch for the fixed prompt set, then chain it back
+        import itertools
+
+        first = next(batches)
+        trainer.sample_hook = build_sample_hook(first)
+        batches = itertools.chain([first], batches)
     # batches() is an infinite epoch iterator — the update budget is the stop
     trainer.fit(state, batches, total_updates=max(args.total_updates - start, 0))
 

@@ -226,6 +226,7 @@ class Trainer:
         save_every: int = 10_000,
         logger=None,
         sample_hook=None,  # callable(state, step): periodic sample synthesis (trainer.py:341-366 parity)
+        sample_every: int | None = None,  # hook cadence; None = save_every (the reference's cadence)
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
@@ -236,6 +237,7 @@ class Trainer:
         self.save_every = save_every
         self.logger = logger
         self.sample_hook = sample_hook
+        self.sample_every = sample_every
         self._step_fn = None
 
     def init_or_resume(self):
@@ -323,11 +325,10 @@ class Trainer:
                     grad_norm=float(metrics["grad_norm"]),
                     frames_per_s=frames_done / max(dt, 1e-9),
                 )
-            if step_no % self.save_every == 0:
-                if self.checkpoint_dir:
-                    from f5tts_tpu.train.checkpoint import save_state
+            if self.checkpoint_dir and step_no % self.save_every == 0:
+                from f5tts_tpu.train.checkpoint import save_state
 
-                    save_state(self.checkpoint_dir, step_no, state)
-                if self.sample_hook:
-                    self.sample_hook(state, step_no)
+                save_state(self.checkpoint_dir, step_no, state)
+            if self.sample_hook and step_no % (self.sample_every or self.save_every) == 0:
+                self.sample_hook(state, step_no)
         return state
