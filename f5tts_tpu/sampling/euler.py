@@ -171,8 +171,17 @@ def sample_cfm(
     compute_dtype=jnp.float32,
     forward_fn=dit_forward,
     embed_fn=dit_embed,
+    knot_range: tuple[int, int] | None = None,
+    paste_back: bool = True,
 ) -> jnp.ndarray:
-    """Returns the sampled mel ``(b, n, mel)`` (cond frames pasted back)."""
+    """Returns the sampled mel ``(b, n, mel)`` (cond frames pasted back).
+
+    ``knot_range=(a, b)`` integrates only knots ``t_grid[a..b]`` starting from
+    ``y0`` (= the previous segment's raw output), and ``paste_back=False``
+    returns the raw trajectory state instead of pasting cond frames — together
+    they let a very fine solve (e.g. a 512-step quality-truth run) execute as
+    several shorter device programs with host fetches in between (single
+    executions beyond a few minutes can crash the remote TPU worker)."""
     b, n, mel_dim = cond.shape
 
     text_lens = jnp.sum(text != -1, axis=-1)
@@ -298,6 +307,14 @@ def sample_cfm(
     else:
         t_grid = sway_time_grid(sampler.steps, sampler.sway_sampling_coef, dtype=compute_dtype)
 
+    if knot_range is not None:
+        if sampler.cfg_cache_period > 1 or sampler.cfg_interval != (0.0, 1.0):
+            raise ValueError("knot_range supports plain (non-cached, full-interval) guidance only")
+        a, bk = knot_range
+        if not (0 <= a < bk <= int(t_grid.shape[0]) - 1):
+            raise ValueError(f"knot_range {knot_range} out of bounds for {int(t_grid.shape[0]) - 1} steps")
+        t_grid = t_grid[a : bk + 1]
+
     if use_cfg and sampler.cfg_cache_period > 1:
         # guidance caching: one fused 2b forward refreshes the null velocity
         # every k-th step; the k-1 steps in between run the b-row cond branch
@@ -363,6 +380,8 @@ def sample_cfm(
         for j in range(ngroups * k, nsteps):
             pred, null = velocity_pair(t_grid[j], y)
             y = y + (t_grid[j + 1] - t_grid[j]) * (pred + (pred - null) * s)
+        if not paste_back:
+            return y
         return jnp.where(cond_mask[..., None], cond, y)
 
     def make_step(vel):
@@ -464,4 +483,6 @@ def sample_cfm(
             vel = velocity if flags[i] else velocity_plain
             y_final, _ = lax.scan(make_step(vel), y_final, (seg[:-1], seg[1:]))
             i = j
+    if not paste_back:
+        return y_final
     return jnp.where(cond_mask[..., None], cond, y_final)

@@ -244,13 +244,31 @@ def main():
 
     y0 = sample_noise_from_seeds(jnp.asarray(seeds), bucket, cfg.mel_dim, jnp.asarray(durations), dtype)
 
+    # single device executions beyond a few minutes can crash the remote TPU
+    # worker (observed twice on the 512-step base-geometry truth solve):
+    # segment long solves into <= SEG-step programs with host fetches between
+    SEG = int(os.environ.get("QH_SEGMENT_STEPS", 64))
+
     def solve(sampler: SamplerConfig):
         t0 = time.time()
-        out = sample_cfm(
-            params, cfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
-            text=jnp.asarray(text), duration=jnp.asarray(durations),
-            sampler=sampler, y0=y0, compute_dtype=dtype,
-        )
+        if sampler.steps <= SEG:
+            out = sample_cfm(
+                params, cfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
+                text=jnp.asarray(text), duration=jnp.asarray(durations),
+                sampler=sampler, y0=y0, compute_dtype=dtype,
+            )
+        else:
+            out = y0
+            for a in range(0, sampler.steps, SEG):
+                b = min(a + SEG, sampler.steps)
+                out = sample_cfm(
+                    params, cfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
+                    text=jnp.asarray(text), duration=jnp.asarray(durations),
+                    sampler=sampler, y0=jnp.asarray(out), compute_dtype=dtype,
+                    knot_range=(a, b), paste_back=(b == sampler.steps),
+                )
+                out = np.asarray(out)  # host fetch ends the device program
+                print(f"  segment knots {a}..{b} done ({time.time() - t0:.0f}s)", flush=True)
         out = np.asarray(out, np.float32)  # forces host fetch (tunnel-safe timing)
         return out, time.time() - t0
 

@@ -180,3 +180,40 @@ def test_sampler_config_validation():
         SamplerConfig(method="midpoint", cfg_null_reuse=True, cfg_interval=(0.0, 0.5))
     with pytest.raises(ValueError):
         SamplerConfig(method="midpoint", cfg_cache_period=2)
+
+
+def test_knot_range_segmentation_matches_single_solve():
+    """Segmented solving (knot_range + paste_back=False between segments) is
+    bit-identical to one full solve — the mechanism that lets very long truth
+    solves run as several short device programs (quality_harness)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from f5tts_tpu.models.dit import DiTConfig, init_dit
+    from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm, sample_noise_from_seeds
+
+    cfg = DiTConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                    text_num_embeds=20, text_dim=16, conv_layers=1, max_pos=128)
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    b, n = 2, 64
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((b, n, 8)), jnp.float32)
+    lens = jnp.asarray([10, 14], jnp.int32)
+    text = jnp.asarray(rng.integers(0, 20, (b, 16)), jnp.int32)
+    dur = jnp.asarray([48, 64], jnp.int32)
+    seeds = jnp.asarray([5, 6], jnp.int32)
+    y0 = sample_noise_from_seeds(seeds, n, 8, jnp.clip(jnp.maximum(jnp.maximum(16, lens) + 1, dur), max=n))
+
+    sampler = SamplerConfig(steps=12, method="euler", cfg_strength=2.0)
+    kw = dict(cond=cond, cond_lens=lens, text=text, duration=dur, sampler=sampler)
+    full = np.asarray(sample_cfm(params, cfg, y0=y0, **kw))
+
+    y = y0
+    for a, bk in ((0, 5), (5, 9), (9, 12)):
+        y = sample_cfm(params, cfg, y0=jnp.asarray(np.asarray(y)), **kw,
+                       knot_range=(a, bk), paste_back=(bk == 12))
+    np.testing.assert_array_equal(full, np.asarray(y))
+
+    with pytest.raises(ValueError, match="out of bounds"):
+        sample_cfm(params, cfg, y0=y0, **kw, knot_range=(0, 13))
