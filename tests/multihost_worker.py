@@ -58,15 +58,16 @@ def replicated(mesh, x):
 
 def main():
     pid, n_proc = init_distributed()
-    assert n_proc == 2, n_proc
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 4, len(jax.devices())
+    want = int(os.environ.get("NUM_PROCESSES", "2"))
+    assert n_proc == want, (n_proc, want)
+    assert jax.process_count() == want, jax.process_count()
+    assert len(jax.devices()) == 2 * want, len(jax.devices())
     assert len(jax.local_devices()) == 2
 
     mesh = global_mesh(model_parallel=2)
-    assert mesh.shape == {"data": 2, "model": 2}, mesh.shape
+    assert mesh.shape == {"data": want, "model": 2}, mesh.shape
     # 'model' axis must stay within one process's local devices (ICI domain)
-    for col in range(2):
+    for col in range(want):
         procs = {mesh.devices[col, m].process_index for m in range(2)}
         assert len(procs) == 1, f"model axis spans processes: {procs}"
 
@@ -77,7 +78,7 @@ def main():
     shardings = state_shardings(state, mesh)
     state = jax.tree.map(jax.device_put, state, shardings)
 
-    gb, n, nt = 4, 64, 24
+    gb, n, nt = 2 * want, 64, 24
     rng = np.random.default_rng(0)  # seed-synchronized across hosts
     full = {
         "mel": rng.standard_normal((gb, n, MODEL.mel_dim)).astype(np.float32),
@@ -106,7 +107,7 @@ def main():
         "cond": rng.standard_normal((gb, n, MODEL.mel_dim)).astype(np.float32),
         "cond_lens": np.full((gb,), 16, np.int32),
         "text": rng.integers(0, 30, (gb, nt)).astype(np.int32),
-        "duration": np.asarray([n, n - 8, n - 16, n - 4], np.int32),
+        "duration": np.asarray([n - 4 * (i % 4) for i in range(gb)], np.int32),
         "seeds": np.arange(100, 100 + gb, dtype=np.int32),
     }
     sbatch = make_global_batch({k: v[sl] for k, v in serve.items()}, mesh)

@@ -18,16 +18,20 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_tp_train_and_serve():
+import pytest
+
+
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_multiprocess_dp_tp_train_and_serve(n_proc):
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_proc):
         env = dict(os.environ)
         env.update(
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
             COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            NUM_PROCESSES="2",
+            NUM_PROCESSES=str(n_proc),
             PROCESS_ID=str(pid),
             PALLAS_AXON_POOL_IPS="",  # keep the axon sitecustomize inert
             PYTHONPATH=os.path.dirname(os.path.dirname(WORKER)),
