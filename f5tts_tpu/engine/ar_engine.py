@@ -87,8 +87,19 @@ class ParlerEngineConfig:
     eos_token: int = 1024
     compute_dtype: str = "bfloat16"
     # batch sizes snapped up to these when serving rows (one compiled program
-    # per bucket instead of one per distinct request-batch size)
-    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
+    # per bucket instead of one per distinct request-batch size). Measured on
+    # chip (BENCH.md config #3, random-init weights at real geometry): batch
+    # 32 is the per-chip throughput optimum (35.9 vs 30.4 audio-s/s at 16 —
+    # weights amortize, KV-cache traffic scales with b) and 64 does NOT fit
+    # HBM (the 44.1 kHz DAC activations push past 15.75 G), so 32 tops the
+    # bucket list; latency-sensitive deployments can cap at 16.
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    # streaming: decode segment length (code-stream positions per device
+    # call) and the DAC receptive-field margin (latent frames withheld until
+    # the window around them is final — makes streamed PCM exactly equal the
+    # batch path; the real-geometry DAC RF is ~12 latent frames)
+    stream_frames: int = 64
+    stream_margin_frames: int = 32
 
 
 @dataclass
@@ -234,6 +245,103 @@ class ParlerTTSEngine:
                 row_seeds=[r.seed for r in padded], strict_lengths=True)
             results.extend((w, None) for w in waves[: len(sub)])
         return results
+
+    def synthesize_streaming(self, description, prompt, seed: int = 0,
+                             frames: int | None = None):
+        """Generator of PCM segments for ONE request — the AR decode is
+        incremental, so audio streams as codes become final instead of after
+        the whole utterance (closing the flow-branch/AR-branch streaming gap).
+
+        Exactness: concatenating every yield equals
+        ``synthesize_batch([description], [prompt], row_seeds=[seed])[0]``
+        sample-for-sample (test-pinned). Two mechanisms make that hold:
+        per-(seed, position) sampling streams (segmentation-invariant tokens),
+        and DAC windows with ``stream_margin_frames`` of context on each side
+        — a latent frame's samples are only emitted once every code within
+        the decoder's receptive field is final.
+
+        Compiled programs: one decode-segment program (fixed ``stream_frames``
+        positions; the tail segment pads past the end — discarded), plus one
+        DAC program per distinct window width (ramp-up widths below
+        ``stream_frames + 2*margin``, then steady-state; bounded per request).
+        """
+        P, cfg = self.P, self.cfg
+        if self.encode_fn is not None:
+            d_ids, p_ids = self.encode_fn(description), self.encode_fn(prompt)
+        else:
+            d_ids, p_ids = description, prompt
+        if len(d_ids) > cfg.desc_pad:
+            raise ValueError(f"description is {len(d_ids)} tokens, over the {cfg.desc_pad}-token budget")
+        if len(p_ids) > cfg.prompt_pad:
+            raise ValueError(f"text is {len(p_ids)} tokens, over the {cfg.prompt_pad}-token budget")
+        desc, desc_mask = self._pad_ids([d_ids], cfg.desc_pad)
+        pr, pr_mask = self._pad_ids([p_ids], cfg.prompt_pad, side="left")
+        frames = cfg.max_frames if frames is None else frames
+        K = self.dec_cfg.codebooks
+        steps = frames + K - 1
+        seg = cfg.stream_frames
+        margin = cfg.stream_margin_frames
+        row_seeds = jnp.asarray([seed], jnp.int32)
+        max_code = self.dac_cfg.codebook_size
+        hop = self.dac_cfg.hop
+
+        skey = ("stream_seg", seg, frames)
+        if skey not in self._cache:
+            def seg_fn(t5_p, dec_p, desc, desc_mask, pr, pr_mask, carry, js, row_seeds):
+                enc = P.t5_encode(t5_p, self.t5_cfg, desc, desc_mask, compute_dtype=self.compute_dtype)
+                return P.parler_decode_segment(
+                    dec_p, self.dec_cfg, enc, desc_mask, frames, js, carry,
+                    prompt_ids=pr, prompt_mask=pr_mask, eos_token=cfg.eos_token,
+                    temperature=cfg.temperature, top_k=cfg.top_k,
+                    row_seeds=row_seeds, compute_dtype=self.compute_dtype)
+
+            self._cache[skey] = jax.jit(seg_fn, static_argnames=())
+        seg_fn = self._cache[skey]
+
+        def dac_win(width: int):
+            wkey = ("stream_dac", width)
+            if wkey not in self._cache:
+                self._cache[wkey] = jax.jit(lambda dac_p, codes: P.dac_decode_codes(
+                    dac_p, codes, self.dac_cfg, compute_dtype=self.compute_dtype))
+            return self._cache[wkey]
+
+        args = (jnp.asarray(desc), jnp.asarray(desc_mask), jnp.asarray(pr), jnp.asarray(pr_mask))
+        carry = None
+        toks_all = np.zeros((steps, 1, K), np.int32)
+        n_done = 0  # decoded code-stream positions
+        emitted = 0  # latent frames already emitted as PCM
+
+        for j0 in range(1, steps + 1, seg):
+            js = jnp.arange(j0, j0 + seg, dtype=jnp.int32)  # tail runs past steps; extras discarded
+            carry, toks = seg_fn(self.t5_params, self.dec_params, *args, carry, js, row_seeds)
+            real = min(seg, steps + 1 - j0)
+            toks_all[n_done : n_done + real] = np.asarray(toks)[:real]
+            n_done += real
+            eos = int(np.asarray(carry[3])[0])
+            # frame f is final once codebook K-1 emitted at position f+K
+            done = min(max(n_done - K + 1, 0), frames, eos)
+            finished = (n_done == steps) or (done >= eos)
+            target = done if finished else max(done - margin, emitted)
+            if target > emitted:
+                # Window context: on the final flush after an early EOS the
+                # batch path decoded `frames`-wide codes ZEROED past eos —
+                # extend the window with those known zeros so the tail samples
+                # see the identical code context (conv padding differs from
+                # code-0 embeddings).
+                ctx_end = min(frames, done + margin) if finished else done
+                # de-delay + finalize the decoded prefix (host-side numpy)
+                codes = np.zeros((1, K, ctx_end), np.int32)
+                for k in range(K):
+                    codes[0, k, :done] = toks_all[k : k + done, 0, k]
+                codes[:, :, eos:] = 0
+                codes = np.where((codes >= 0) & (codes < max_code), codes, 0)
+                w0 = max(0, emitted - margin)
+                wave = np.asarray(dac_win(ctx_end - w0)(
+                    self.dac_params, jnp.asarray(codes[:, :, w0:ctx_end])), np.float32)
+                yield wave[0, (emitted - w0) * hop : (target - w0) * hop]
+                emitted = target
+            if finished:
+                break
 
     def validate_lengths(self, description: str, prompt: str) -> None:
         """Raise ValueError when the encoded description/prompt exceeds the

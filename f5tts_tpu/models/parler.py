@@ -461,33 +461,30 @@ def _sample_rows(keys, logits, temperature: float, top_k: int):
         lambda k, lg: jax.random.categorical(k, lg, axis=-1))(keys, logits).astype(jnp.int32)
 
 
-def parler_generate(
+def _decode_ctx(
     params,
     cfg: ParlerDecoderConfig,
     enc: jnp.ndarray,  # (b, m, cross_dim)
     enc_mask: jnp.ndarray | None,
     frames: int,
     key: jax.Array,
-    prompt_ids: jnp.ndarray | None = None,  # (b, p)
-    prompt_mask: jnp.ndarray | None = None,
-    bos_token: int | None = None,  # defaults to the extra pad/bos slot (vocab)
-    pad_token: int | None = None,
-    eos_token: int = 1024,
-    temperature: float = 1.0,
-    top_k: int = 0,
-    max_code: int | None = None,  # codec codebook size; sampled specials >= it are zeroed
-    row_seeds: jnp.ndarray | None = None,  # (b,) int32: per-row sampling streams
-    compute_dtype=jnp.float32,
+    prompt_ids: jnp.ndarray | None,
+    prompt_mask: jnp.ndarray | None,
+    bos_token: int | None,
+    pad_token: int | None,
+    eos_token: int,
+    temperature: float,
+    top_k: int,
+    row_seeds: jnp.ndarray | None,
+    compute_dtype,
 ):
-    """Delay-pattern AR generation with a static KV cache.
+    """Shared decode context: prefill + the per-position scan body.
 
-    Returns ``(codes (b, K, frames) int32, lengths (b,) int32)`` — codes are
-    de-delayed; rows that emitted EOS in codebook 0 are padded with 0 past
-    their length and report the shorter length. ``max_code`` guards the codec:
-    the decoder vocab (e.g. 1088) exceeds the DAC codebook (1024), and EOS is
-    only intercepted on codebook 0 — stray specials sampled in codebooks 1+
-    must not flow into the codec gather (JAX clamps silently).
-    """
+    Returns ``(carry0, step, steps)`` where ``carry0 = (logits, cache, key,
+    eos_frame)`` is the post-prefill state and ``step`` the scan body over
+    code-stream positions — ``parler_generate`` scans all of ``1..steps`` at
+    once, ``parler_decode_segment`` scans sub-ranges with the carry handed
+    between calls (the streaming path)."""
     bos = cfg.vocab if bos_token is None else bos_token
     pad = bos if pad_token is None else pad_token
     b = enc.shape[0]
@@ -646,17 +643,96 @@ def parler_generate(
         return (nlogits, cache, key, eos_frame), tok
 
     eos0 = jnp.full((b,), frames, jnp.int32)
-    (_, _, _, eos_frame), toks = lax.scan(
-        step, (logits0, cache, key, eos0), jnp.arange(1, steps + 1))
-    # toks: (steps, b, K) — row s holds position s+1 of the code stream
-    codes = revert_delay_pattern(toks.transpose(1, 2, 0), frames)
+    return (logits0, cache, key, eos0), step, steps
 
+
+def finalize_codes(codes: jnp.ndarray, eos_frame: jnp.ndarray, cfg: ParlerDecoderConfig,
+                   max_code: int | None = None):
+    """Post-decode masking shared by the batch and streaming paths: zero codes
+    past each row's EOS length and clamp sampled specials below the codec
+    codebook (the decoder vocab exceeds the DAC codebook; EOS is only
+    intercepted on codebook 0 — strays in codebooks 1+ must not flow into the
+    codec gather, which JAX would clamp silently)."""
     lengths = eos_frame
+    frames = codes.shape[2]
     frame_pos = jnp.arange(frames)[None, None, :]
     codes = jnp.where(frame_pos < lengths[:, None, None], codes, 0)
     hi = cfg.vocab if max_code is None else max_code
     codes = jnp.where((codes >= 0) & (codes < hi), codes, 0)
     return codes, lengths
+
+
+def parler_generate(
+    params,
+    cfg: ParlerDecoderConfig,
+    enc: jnp.ndarray,  # (b, m, cross_dim)
+    enc_mask: jnp.ndarray | None,
+    frames: int,
+    key: jax.Array,
+    prompt_ids: jnp.ndarray | None = None,  # (b, p)
+    prompt_mask: jnp.ndarray | None = None,
+    bos_token: int | None = None,  # defaults to the extra pad/bos slot (vocab)
+    pad_token: int | None = None,
+    eos_token: int = 1024,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    max_code: int | None = None,  # codec codebook size; sampled specials >= it are zeroed
+    row_seeds: jnp.ndarray | None = None,  # (b,) int32: per-row sampling streams
+    compute_dtype=jnp.float32,
+):
+    """Delay-pattern AR generation with a static KV cache.
+
+    Returns ``(codes (b, K, frames) int32, lengths (b,) int32)`` — codes are
+    de-delayed; rows that emitted EOS in codebook 0 are padded with 0 past
+    their length and report the shorter length (``finalize_codes``).
+    """
+    carry0, step, steps = _decode_ctx(
+        params, cfg, enc, enc_mask, frames, key, prompt_ids, prompt_mask,
+        bos_token, pad_token, eos_token, temperature, top_k, row_seeds, compute_dtype)
+    (_, _, _, eos_frame), toks = lax.scan(step, carry0, jnp.arange(1, steps + 1))
+    # toks: (steps, b, K) — row s holds position s+1 of the code stream
+    codes = revert_delay_pattern(toks.transpose(1, 2, 0), frames)
+    return finalize_codes(codes, eos_frame, cfg, max_code)
+
+
+def parler_decode_segment(
+    params,
+    cfg: ParlerDecoderConfig,
+    enc: jnp.ndarray,
+    enc_mask: jnp.ndarray | None,
+    frames: int,
+    js: jnp.ndarray,  # contiguous positions within 1..steps (values past steps: outputs discarded)
+    carry=None,  # None = prefill first; else the previous segment's carry
+    *,
+    key: jax.Array | None = None,
+    prompt_ids: jnp.ndarray | None = None,
+    prompt_mask: jnp.ndarray | None = None,
+    bos_token: int | None = None,
+    pad_token: int | None = None,
+    eos_token: int = 1024,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    row_seeds: jnp.ndarray | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Decode a sub-range of code-stream positions — the STREAMING primitive.
+
+    Returns ``(carry, toks (len(js), b, K))``. Segments of equal ``len(js)``
+    share one compiled program; the KV cache rides the carry between calls;
+    with ``row_seeds`` the sampling stream is keyed by (seed, position), so
+    concatenated segment tokens are IDENTICAL to the single-scan
+    ``parler_generate`` (test-pinned). When ``carry`` is supplied the prefill
+    trace is dead-code-eliminated by XLA. ``js`` may run past ``steps`` (a
+    padded tail segment): those positions write only the already-consumed last
+    cache slot and cannot move ``eos_frame``, and their tokens are discarded
+    by the caller."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    carry0, step, _ = _decode_ctx(
+        params, cfg, enc, enc_mask, frames, key, prompt_ids, prompt_mask,
+        bos_token, pad_token, eos_token, temperature, top_k, row_seeds, compute_dtype)
+    carry, toks = lax.scan(step, carry0 if carry is None else carry, js)
+    return carry, toks
 
 
 # ---------------------------------------------------------------------------

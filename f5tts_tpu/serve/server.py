@@ -514,8 +514,7 @@ def build_app(settings: Settings) -> web.Application:
 
         if req.response_format == "stream":
             if settings.tts_model == "parler":
-                raise web.HTTPBadRequest(text=json.dumps(
-                    {"error": "response_format=stream is not supported on the parler branch"}))
+                return await stream_speech_parler(request, req)
             return await stream_speech(request, req)
         data = await asyncio.get_running_loop().run_in_executor(None, service.synthesize_sync, req)
         return web.Response(
@@ -527,11 +526,6 @@ def build_app(settings: Settings) -> web.Application:
     async def stream_speech(request: web.Request, req: SpeechRequest) -> web.StreamResponse:
         """Chunked-transfer WAV: header with unknown length, then int16 PCM as
         each text chunk's ODE solve completes (time-to-first-audio = 1 chunk)."""
-        import queue as _queue
-        import struct
-
-        from f5tts_tpu.audio import native
-
         engine, voices = service.engine, service.voices  # snapshot across unload
         if engine is None or not voices:
             raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
@@ -541,6 +535,41 @@ def build_app(settings: Settings) -> web.Application:
         ref_audio, ref_sr, ref_text = voices[voice]
         ref_text = ensure_sentence_punctuation(req.ref_text or ref_text)
 
+        def segments():
+            return engine.synthesize_streaming(
+                req.effective_text, ref_audio, ref_sr, ref_text,
+                speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
+            )
+
+        return await stream_pcm(request, 24000, segments)
+
+    async def stream_speech_parler(request: web.Request, req: SpeechRequest) -> web.StreamResponse:
+        """AR-branch streaming: the delay-pattern decode is incremental, so
+        PCM flows as code frames become final (DAC receptive-field margin
+        withheld) — concatenated output equals the batched path exactly."""
+        engine = service.engine  # snapshot across unload
+        if engine is None:
+            raise web.HTTPServiceUnavailable(text=json.dumps({"error": "TTS model not loaded"}))
+        desc = req.description or settings.parler_default_description
+        try:
+            engine.validate_lengths(desc, req.effective_text)
+        except ValueError as e:
+            raise web.HTTPBadRequest(text=json.dumps({"error": str(e)}))
+
+        def segments():
+            return engine.synthesize_streaming(desc, req.effective_text, seed=req.seed or 0)
+
+        return await stream_pcm(request, engine.dac_cfg.sampling_rate, segments)
+
+    async def stream_pcm(request: web.Request, sr: int, segments) -> web.StreamResponse:
+        """Shared chunked-WAV plumbing: header with unknown sizes, a bounded
+        producer queue, disconnect-safe teardown. ``segments``: zero-arg
+        callable returning an iterator of float32 PCM arrays."""
+        import queue as _queue
+        import struct
+
+        from f5tts_tpu.audio import native
+
         resp = web.StreamResponse(headers={"Content-Type": "audio/wav", "Cache-Control": "no-cache"})
         # headers flush at prepare(): middlewares can't add these afterwards
         _cors(resp.headers)
@@ -548,7 +577,6 @@ def build_app(settings: Settings) -> web.Application:
         resp.enable_chunked_encoding()
         await resp.prepare(request)
         # WAV header with streaming (unknown) sizes
-        sr = 24000
         header = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt " + struct.pack(
             "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16
         ) + b"data" + struct.pack("<I", 0xFFFFFFFF)
@@ -571,10 +599,7 @@ def build_app(settings: Settings) -> web.Application:
 
         def produce():
             try:
-                for seg in engine.synthesize_streaming(
-                    req.effective_text, ref_audio, ref_sr, ref_text,
-                    speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
-                ):
+                for seg in segments():
                     if not _put(native.encode_pcm16(seg).tobytes()):
                         return
             except Exception as e:  # surfaced as stream truncation

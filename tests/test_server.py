@@ -342,7 +342,8 @@ def test_server_bigvgan_vocoder():
 def test_server_parler_branch():
     """F5TPU_TTS_MODEL=parler serves the AR branch: style description +
     prompt in, 44.1 kHz DAC audio out, batched through the continuous
-    batcher; streaming is rejected with 400."""
+    batcher; response_format=stream streams the incremental AR decode and
+    equals the batched output."""
     loop = asyncio.new_event_loop()
     settings = Settings(demo_tiny=True, warmup=False, tts_model="parler",
                         speech_rate_limit="100/minute")
@@ -366,9 +367,16 @@ def test_server_parler_branch():
                            json={"text": "parler utterance.", "seed": 3,
                                  "description": "a calm speaker."})
         assert body2 == body
-        resp, _ = _req((c, loop), "POST", "/v1/audio/speech",
-                       json={"text": "x", "response_format": "stream"})
-        assert resp.status == 400
+        # streaming: chunked WAV whose PCM equals the batched output
+        resp, sbody = _req((c, loop), "POST", "/v1/audio/speech",
+                           json={"text": "parler utterance.", "seed": 3,
+                                 "description": "a calm speaker.",
+                                 "response_format": "stream"})
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("audio/wav")
+        streamed = np.frombuffer(bytes(sbody)[44:], dtype="<i2").astype(np.float32) / 32768.0
+        assert len(streamed) == len(wav)
+        np.testing.assert_allclose(streamed, wav, atol=2 / 32768.0)
         resp, body = _req((c, loop), "GET", "/v1/model",
                           headers={})
         assert json.loads(body)["tts_model"] == "parler"
