@@ -155,7 +155,7 @@ def main(argv=None):
 
         # batch rows must divide the data-mesh axis when a mesh is in play
         smoke_batch = max(2, jax.device_count()) if mesh is not None else 2
-        batches = list(synthetic_batches(model_cfg.model, frames=512, batch=smoke_batch, n_batches=3, seed=args.seed))
+        batches = list(synthetic_batches(model_cfg.model, frames=256, batch=smoke_batch, n_batches=3, seed=args.seed))
         trainer.sample_hook = build_sample_hook(batches[0])
         trainer.log_every = 1
         state = trainer.fit(state, batches, total_updates=3)

@@ -48,8 +48,8 @@ from f5tts_tpu.train.trainer import (  # noqa: E402
     state_shardings,
 )
 
-MODEL = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=20,
-                  text_num_embeds=30, text_dim=32, conv_layers=1, max_pos=256)
+MODEL = DiTConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                  text_num_embeds=30, text_dim=16, conv_layers=1, max_pos=128)
 
 
 def replicated(mesh, x):
@@ -78,7 +78,7 @@ def main():
     shardings = state_shardings(state, mesh)
     state = jax.tree.map(jax.device_put, state, shardings)
 
-    gb, n, nt = 2 * want, 64, 24
+    gb, n, nt = 2 * want, 32, 12
     rng = np.random.default_rng(0)  # seed-synchronized across hosts
     full = {
         "mel": rng.standard_normal((gb, n, MODEL.mel_dim)).astype(np.float32),
@@ -115,7 +115,7 @@ def main():
     @jax.jit
     def solve(params, cond, cond_lens, text, duration, seeds):
         return sample_cfm(params, MODEL, cond=cond, cond_lens=cond_lens, text=text,
-                          duration=duration, sampler=SamplerConfig(steps=2), seeds=seeds)
+                          duration=duration, sampler=SamplerConfig(steps=1), seeds=seeds)
 
     with mesh:
         out = solve(state["params"], sbatch["cond"], sbatch["cond_lens"],

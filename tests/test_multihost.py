@@ -21,7 +21,9 @@ def _free_port() -> int:
 import pytest
 
 
-@pytest.mark.parametrize("n_proc", [2, 4])
+# 4 processes subsumes the 2-process case (same launcher/mesh machinery
+# with strictly more coordination) — one case keeps suite wall-time down
+@pytest.mark.parametrize("n_proc", [4])
 def test_multiprocess_dp_tp_train_and_serve(n_proc):
     port = _free_port()
     procs = []

@@ -364,7 +364,7 @@ def test_sample_hook_fires_and_writes_files(tmp_path):
     # fast EMA so the shadow weights move between firings
     cfg = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100,
                       ema=EMAConfig(update_after_step=0, update_every=1))
-    batches = list(synthetic_batches(TINY.model, frames=64, batch=2, n_batches=4))
+    batches = list(synthetic_batches(TINY.model, frames=32, batch=2, n_batches=4))
     prompts = prompts_from_batch(batches[0], k=2)
     assert len(prompts) == 2
 
