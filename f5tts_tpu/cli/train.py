@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--batch-frames", type=int, default=38400)
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per optimizer update (use with a reduced --batch-frames to fit HBM)")
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"],
+                   help="adafactor = factored second moments, ~half the optimizer HBM "
+                        "(the reference's bnb 8-bit AdamW role; bitsandbytes is CUDA-only)")
     p.add_argument("--max-samples", type=int, default=64)
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"],
@@ -84,6 +87,10 @@ def main(argv=None):
             "total_updates": ycfg.get("optim", {}).get("total_updates"),
             "batch_frames": ycfg.get("optim", {}).get("batch_frames"),
             "grad_accum": ycfg.get("optim", {}).get("grad_accum"),
+            # reference yamls carry bnb_optimizer (model/trainer.py:123-128);
+            # map it to the TPU-native reduced-memory equivalent
+            "optimizer": ycfg.get("optim", {}).get(
+                "optimizer", "adafactor" if ycfg.get("optim", {}).get("bnb_optimizer") else None),
             "max_samples": ycfg.get("optim", {}).get("max_samples"),
             "checkpoint_dir": ycfg.get("ckpts", {}).get("checkpoint_dir"),
             "save_every": ycfg.get("ckpts", {}).get("save_every"),
@@ -109,7 +116,7 @@ def main(argv=None):
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate, warmup_updates=args.warmup_updates,
         total_updates=args.total_updates, batch_frames=args.batch_frames, seed=args.seed,
-        max_grad_accum=args.grad_accum,
+        max_grad_accum=args.grad_accum, optimizer=args.optimizer,
     )
     mesh = build_mesh(model_parallel=args.model_parallel) if jax.device_count() > 1 else None
 

@@ -38,6 +38,18 @@ class TrainConfig:
     max_grad_accum: int = 1
     ema: EMAConfig = field(default_factory=EMAConfig)
     seed: int = 0
+    # Reduced-memory optimizer state (the role of the reference's
+    # ``bnb_optimizer`` 8-bit AdamW option, model/trainer.py:123-128 /
+    # ``bnb_optimizer`` in every train yaml). bitsandbytes is CUDA-only; the
+    # TPU-native equivalent is factored second moments: "adafactor" replaces
+    # adam's 2x-params (m, v) f32 state with first moment + row/col factored
+    # v — ~half the optimizer HBM at 336 M params, same LR schedule/clip/
+    # weight-decay wrapping.
+    optimizer: str = "adamw"  # "adamw" | "adafactor"
+
+    def __post_init__(self):
+        if self.optimizer not in ("adamw", "adafactor"):
+            raise ValueError(f"optimizer must be 'adamw' or 'adafactor', got {self.optimizer!r}")
 
 
 def lr_schedule(cfg: TrainConfig):
@@ -52,10 +64,17 @@ def lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay),
-    )
+    if cfg.optimizer == "adafactor":
+        # factored second moments + momentum: the memory role of the
+        # reference's 8-bit AdamW (see TrainConfig.optimizer)
+        inner = optax.adafactor(
+            lr_schedule(cfg), min_dim_size_to_factor=128, decay_rate=0.999,
+            multiply_by_parameter_scale=False, momentum=0.9, dtype_momentum=jnp.bfloat16,
+            weight_decay_rate=cfg.weight_decay,
+        )
+    else:
+        inner = optax.adamw(lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay)
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
 
 
 def make_train_step(model_cfg: CFMConfig, train_cfg: TrainConfig, compute_dtype=jnp.bfloat16,

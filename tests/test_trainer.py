@@ -405,3 +405,33 @@ def test_train_cli_smoke_with_sample_hook(tmp_path, monkeypatch):
                     "--checkpoint-dir", str(tmp_path / "ck")])
     samples = list((tmp_path / "ck" / "samples").glob("step*_p*.npy"))
     assert samples, "sample hook produced no files"
+
+
+def test_adafactor_optimizer_option():
+    """TrainConfig(optimizer='adafactor') — the reduced-memory optimizer-state
+    option standing in for the reference's bnb 8-bit AdamW
+    (model/trainer.py:123-128): a step runs, loss finite, and the optimizer
+    state holds strictly fewer bytes than adamw's 2x-params f32 moments."""
+    cfg_af = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100,
+                         optimizer="adafactor")
+    cfg_adam = TrainConfig(learning_rate=1e-3, warmup_updates=2, total_updates=100)
+    batch = next(synthetic_batches(TINY.model, frames=32, batch=2, n_batches=1))
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    db["key"] = jax.random.PRNGKey(1)
+
+    def state_bytes(state):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(state["opt_state"]))
+
+    s_af = init_train_state(jax.random.PRNGKey(0), TINY, cfg_af)
+    s_adam = init_train_state(jax.random.PRNGKey(0), TINY, cfg_adam)
+    assert state_bytes(s_af) < state_bytes(s_adam)
+
+    step = jax.jit(make_train_step(TINY, cfg_af, compute_dtype=jnp.float32))
+    s2, m = step(s_af, db)
+    assert np.isfinite(float(m["loss"]))
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(s_af["params"]), jax.tree.leaves(s2["params"])))
+    assert moved
+
+    with pytest.raises(ValueError, match="optimizer"):
+        TrainConfig(optimizer="bnb8bit")
