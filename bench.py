@@ -51,10 +51,19 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
     attn_impl = os.environ.get("BENCH_ATTN", "flash")
-    dit_cfg = DiTConfig(**{**DiTConfig.base().__dict__, "attn_impl": attn_impl})
+    model = os.environ.get("BENCH_MODEL", "f5tts")  # f5tts (DiT) | e2tts (UNetT, 1.7x FLOPs)
+    engine_fns = {}
+    if model == "e2tts":
+        from f5tts_tpu.models.unett import UNetTConfig, init_unett, unett_embed, unett_forward
+
+        dit_cfg = UNetTConfig(**{**UNetTConfig.base().__dict__, "attn_impl": attn_impl})
+        dit_params = init_unett(jax.random.PRNGKey(0), dit_cfg)
+        engine_fns = {"forward_fn": unett_forward, "embed_fn": unett_embed}
+    else:
+        dit_cfg = DiTConfig(**{**DiTConfig.base().__dict__, "attn_impl": attn_impl})
+        dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
     voc_cfg = VocosConfig()
     tok = Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}})
-    dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
     voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
 
     quant = "int8" if os.environ.get("BENCH_QUANT") == "1" else "none"
@@ -70,7 +79,7 @@ def main():
         duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
         compute_dtype="bfloat16", quantization=quant, sampler=sampler,
     )
-    engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, cfg)
+    engine = TTSEngine(dit_params, dit_cfg, voc_params, tok, cfg, **engine_fns)
 
     fn = engine._compiled(n_frames, batch, cfg.text_pad, steps, 2.0)
     rng = np.random.default_rng(0)
@@ -129,11 +138,11 @@ def main():
                 ("serving", attn_impl, "fused", jnp.bfloat16),  # engine default on-chip
                 ("referencepath", "xla", "xla", jnp.float32),
             ):
-                pcfg = DiTConfig(**{**dit_cfg.__dict__, "attn_impl": a_impl, "conv_pos_impl": cp_impl})
+                pcfg = type(dit_cfg)(**{**dit_cfg.__dict__, "attn_impl": a_impl, "conv_pos_impl": cp_impl})
                 outs[name] = np.asarray(jax.jit(
                     lambda c, cl, t, d, s, _pc=pcfg, _dt=dtype: sample_cfm(
                         dit_params, _pc, cond=c, cond_lens=cl, text=t, duration=d,
-                        sampler=psampler, seeds=s, compute_dtype=_dt)
+                        sampler=psampler, seeds=s, compute_dtype=_dt, **engine_fns)
                 )(pcond, plens, ptext, pdur, pseeds), np.float32)
             gen_mask = np.broadcast_to((np.arange(pn) >= pref)[None], (pb, pn))
             parity = mel_l2(outs["serving"], outs["referencepath"], gen_mask)

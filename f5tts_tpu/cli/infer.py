@@ -46,6 +46,8 @@ def add_engine_args(p: argparse.ArgumentParser, short: bool = False) -> None:
     p.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"],
                    help="auto = flash kernels on TPU, XLA elsewhere")
     p.add_argument("--demo-tiny", action="store_true", help="random-init tiny model (no checkpoint smoke test)")
+    p.add_argument("--random-init", action="store_true",
+                   help="random-init at the REAL --model geometry (kernel/shape smoke without checkpoints)")
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -148,9 +150,29 @@ def build_engine(args):
             vocoder_kw = {"vocoder_type": "bigvgan", "bigvgan": bcfg}
         else:
             voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+    elif getattr(args, "random_init", False):
+        # real geometry, random weights: kernel/shape smoke at the actual
+        # model size without checkpoints (zero-egress environments); audio is
+        # noise, the compiled programs are the real ones
+        mel_cfg = MelConfig(flavor=mel_flavor)
+        tok = (Tokenizer.from_file(args.vocab_file) if args.vocab_file
+               else Tokenizer({" ": 0, **{chr(i): i - 31 for i in range(33, 127)}}))
+        if args.model.startswith("E2TTS"):
+            from f5tts_tpu.models.unett import UNetTConfig, init_unett, unett_embed, unett_forward
+
+            ubase = UNetTConfig.small() if args.model == "E2TTS_Small" else UNetTConfig.base()
+            dit_cfg = UNetTConfig(**{**ubase.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn})
+            dit_params = init_unett(jax.random.PRNGKey(0), dit_cfg)
+            engine_fns = {"forward_fn": unett_forward, "embed_fn": unett_embed}
+        else:
+            base = DiTConfig.small() if args.model == "F5TTS_Small" else DiTConfig.base()
+            dit_cfg = DiTConfig(**{**base.__dict__, "text_num_embeds": tok.vocab_size, "attn_impl": args.attn})
+            dit_params = init_dit(jax.random.PRNGKey(0), dit_cfg)
+        voc_cfg = VocosConfig()
+        voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
     else:
         if not args.ckpt_file or not args.vocab_file or not args.vocoder_ckpt:
-            sys.exit("need --ckpt-file, --vocab-file and --vocoder-ckpt (or --demo-tiny)")
+            sys.exit("need --ckpt-file, --vocab-file and --vocoder-ckpt (or --demo-tiny / --random-init)")
         mel_cfg = MelConfig(flavor=mel_flavor)
         tok = Tokenizer.from_file(args.vocab_file)
         voc_cfg = VocosConfig()
