@@ -108,6 +108,19 @@ def nfe_to_steps(nfe: int, method: str) -> int:
     return max(nfe // EVALS_PER_STEP[method], 1)
 
 
+# Optimized ralston knot grids (scripts/optimize_time_grid.py, round 3):
+# searched against the certification standard (mel-L2 to a 512-step truth of
+# the same guided ODE / the Euler-32 recipe's own error, WORST of three
+# toy-trained smoothness levels). The 8-interval grid reaches 0.51x recipe
+# error at HALF the recipe's forwards (sway-grid ralston8: 0.79x); the
+# 10-interval one 0.48x (sway: 0.69x). Artifact: TIME_GRID_SEARCH.json;
+# base-geometry on-chip re-certification in BENCH.md.
+OPT_GRID_RALSTON8 = (0.0, 0.153893, 0.287175, 0.445654, 0.543244, 0.625646,
+                     0.779247, 0.886762, 1.0)
+OPT_GRID_RALSTON10 = (0.0, 0.070795, 0.157103, 0.250432, 0.348633, 0.450625,
+                      0.60897, 0.663533, 0.718077, 0.885888, 1.0)
+
+
 def serving_default_sampler(**overrides) -> SamplerConfig:
     """The certified serving default: Ralston RK2 at 10 intervals (NFE 40
     total across both guidance branches — 40/64 the reference recipe's
@@ -173,6 +186,7 @@ def sample_cfm(
     embed_fn=dit_embed,
     knot_range: tuple[int, int] | None = None,
     paste_back: bool = True,
+    time_grid_array: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Returns the sampled mel ``(b, n, mel)`` (cond frames pasted back).
 
@@ -299,7 +313,15 @@ def sample_cfm(
                 compute_dtype=compute_dtype,
             )
 
-    if sampler.time_grid is not None:
+    if time_grid_array is not None:
+        # dynamic knots (one compile serves many candidate grids — the
+        # time-grid SEARCH path, scripts/optimize_time_grid.py). Must be
+        # (steps+1,) monotone 0..1; not validated (traced). Plain guidance
+        # only (the cache/interval paths partition knots host-side).
+        if sampler.cfg_cache_period > 1 or sampler.cfg_interval != (0.0, 1.0):
+            raise ValueError("time_grid_array supports plain full-interval guidance only")
+        t_grid = time_grid_array.astype(compute_dtype)
+    elif sampler.time_grid is not None:
         tg = sampler.time_grid
         if len(tg) < 2 or tg[0] != 0.0 or tg[-1] != 1.0 or any(b <= a for a, b in zip(tg, tg[1:])):
             raise ValueError("time_grid must be strictly increasing from 0.0 to 1.0")

@@ -200,6 +200,9 @@ def main():
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--attn", default=None, choices=[None, "xla", "flash"])
     p.add_argument("--configs", default=",".join(CONFIGS))
+    p.add_argument("--extra-grid", action="append", default=[],
+                   help="name:method:k0;k1;...;kN — add a custom-knot config "
+                        "(e.g. the optimize_time_grid.py winner) to the certification set")
     p.add_argument("--out", default="QUALITY.json")
     p.add_argument("--solve-cache", default=None,
                    help="directory to persist per-config solved mels (npz); a crashed "
@@ -211,6 +214,11 @@ def main():
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    for spec in args.extra_grid:
+        name, method, knots = spec.split(":")
+        grid = tuple(float(v) for v in knots.split(";"))
+        CONFIGS[name] = SamplerConfig(steps=len(grid) - 1, cfg_strength=2.0, method=method,
+                                      time_grid=grid)
 
     if args.geometry == "tiny":
         cfg = TINY
