@@ -62,11 +62,14 @@ class EngineConfig:
     target_rms: float = TARGET_RMS
     speed: float = 1.0
     # Per-solve row caps by duration bucket: batch scaling of the fused-CFG
-    # solve is NOT monotone on chip (BENCH.md): at n=1024 throughput per chip
-    # drops ~2x going 8 -> 32 rows (5641 -> 3048 bucket-frames/s), while at
-    # n=2048 32 rows measured FASTER than 8. Cap 1024-bucket solves at 8 rows
-    # (the headline-measured shape); larger groups split into capped solves.
-    solve_batch_caps: tuple[tuple[int, int], ...] = ((1024, 8),)
+    # solve is NOT monotone on chip, so every bucket carries its measured
+    # optimum (round-3 full grid, SOLVE_GRID.jsonl / BENCH.md: e.g. 1024-bucket
+    # 53.0 audio-s/s at 8 rows vs 47.7 at 16; 512 peaks at 16; nothing above
+    # 512 gains past 8 rows). 256 stays uncapped (batch mildly helps there);
+    # larger groups split into capped solves and continuous batching still
+    # fills them across requests.
+    solve_batch_caps: tuple[tuple[int, int], ...] = (
+        (512, 16), (768, 8), (1024, 8), (1536, 8), (2048, 8), (3072, 8), (4096, 8))
     # Long-form throughput knob: additionally cap each chunk so its predicted
     # TOTAL frames (ref + generated) fit this bucket. The reference's byte
     # budget targets ~25 s chunks (utils_infer.py:377) which land in the

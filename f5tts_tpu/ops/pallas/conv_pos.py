@@ -40,7 +40,13 @@ _TILES = (1024, 768, 512, 384, 256, 128, 64, 32, 16, 8)
 
 
 def pick_tile(n: int) -> int | None:
-    return next((t for t in _TILES if n % t == 0), None)
+    # n >= 4096: the whole-row x/out/scratch VMEM blocks reach ~3 MB and a
+    # 1024-wide tile's im2col buffers (tile x 31*cg) push Mosaic past VMEM —
+    # the remote compile-helper process dies (observed on the 4096 serving
+    # bucket, round 3). A 512 tile compiles and runs; smaller buckets keep
+    # the wider tiles.
+    cap = 512 if n >= 4096 else _TILES[0]
+    return next((t for t in _TILES if t <= cap and n % t == 0), None)
 
 
 def pick_cluster(groups: int, cg: int) -> int | None:

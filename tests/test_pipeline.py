@@ -254,7 +254,9 @@ def test_solve_batch_caps_normalized_to_buckets():
     assert EngineConfig(batch_buckets=(32,), solve_batch_caps=((1024, 8),)).solve_batch_caps == ((1024, 32),)
     # cap 12 snaps down to the 8 bucket
     assert EngineConfig(solve_batch_caps=((1024, 12),)).solve_batch_caps == ((1024, 8),)
-    # absent duration bucket drops (custom-bucket configs inherit the default cap)
+    # absent duration buckets drop (custom-bucket configs keep only their own)
     assert EngineConfig(duration_buckets=(512, 2048), solve_batch_caps=((1024, 8),)).solve_batch_caps == ()
-    # the shipping default is already normal
-    assert EngineConfig().solve_batch_caps == ((1024, 8),)
+    assert EngineConfig(duration_buckets=(512, 2048)).solve_batch_caps == ((512, 16), (2048, 8))
+    # the shipping default (the measured round-3 grid) is already normal
+    assert EngineConfig().solve_batch_caps == (
+        (512, 16), (768, 8), (1024, 8), (1536, 8), (2048, 8), (3072, 8), (4096, 8))
