@@ -61,8 +61,18 @@ def main():
     base_err = mel_l2(base, truth, gen_mask)
     print(f"recipe err (cached): {base_err:.5f}", flush=True)
 
-    print(f"toy-training base field ({args.toy_train} steps)...", flush=True)
-    params = toy_train(init_dit(jax.random.PRNGKey(0), cfg), cfg, args.toy_train)
+    pcache = os.path.join(args.solve_cache, f"field_params_{args.toy_train}.npz")
+    if os.path.exists(pcache):
+        from f5tts_tpu.models.convert import load_params_npz
+
+        params = jax.tree.map(jnp.asarray, load_params_npz(pcache))
+        print(f"loaded toy-trained field from {pcache}", flush=True)
+    else:
+        print(f"toy-training base field ({args.toy_train} steps)...", flush=True)
+        params = toy_train(init_dit(jax.random.PRNGKey(0), cfg), cfg, args.toy_train)
+        from f5tts_tpu.models.convert import save_params_npz
+
+        save_params_npz(pcache, jax.tree.map(np.asarray, params))
 
     kwargs = dict(cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
                   text=jnp.asarray(text), duration=jnp.asarray(durations), y0=y0)

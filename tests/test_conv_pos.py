@@ -68,3 +68,15 @@ def test_densified_weights_keep_working():
     ref = m.conv_pos_embedding(p, x, impl="xla")
     out = m.conv_pos_embedding(dense, x, impl="fused")  # guard falls through
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_pick_tile_caps_wide_rows():
+    """n >= 4096 must use <=512-wide tiles: the 1024 tile's im2col buffers +
+    whole-row VMEM blocks crash the Mosaic compile at the 4096 serving bucket
+    (round-3 finding; BENCH.md solve-grid notes)."""
+    from f5tts_tpu.ops.pallas.conv_pos import pick_tile
+
+    assert pick_tile(4096) == 512
+    assert pick_tile(8192) == 512
+    assert pick_tile(2048) == 1024  # smaller buckets keep the wide tiles
+    assert pick_tile(3072) == 1024
