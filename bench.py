@@ -73,8 +73,11 @@ def main():
     interval = parse_cfg_interval(iv) if iv else (0.0, 1.0)
     cache = int(os.environ.get("BENCH_CFG_CACHE", 1))  # null-branch refresh period
     cache_mode = os.environ.get("BENCH_CFG_CACHE_MODE", "hold")  # hold | extrapolate
+    from f5tts_tpu.sampling.euler import default_time_grid
+
     sampler = SamplerConfig(steps=steps, method=method, cfg_interval=interval,
-                            cfg_cache_period=cache, cfg_cache_mode=cache_mode)
+                            cfg_cache_period=cache, cfg_cache_mode=cache_mode,
+                            time_grid=default_time_grid(method, steps))
     cfg = EngineConfig(
         duration_buckets=(n_frames,), batch_buckets=(batch,), text_pad=512,
         compute_dtype="bfloat16", quantization=quant, sampler=sampler,

@@ -209,7 +209,7 @@ def build_engine(args):
             # torch .pt/.safetensors file, or an orbax train dir from f5tpu-train
             dit_params = load_f5_checkpoint(args.ckpt_file, dit_cfg)
 
-    from f5tts_tpu.sampling.euler import DEFAULT_NFE, nfe_to_steps
+    from f5tts_tpu.sampling.euler import DEFAULT_NFE, default_time_grid, nfe_to_steps
 
     method = args.method
     if method == "auto":
@@ -217,12 +217,14 @@ def build_engine(args):
         # certified ralston default (engine.EngineConfig docstring / BENCH.md)
         method = "euler" if (args.cfg_interval or args.cfg_cache > 1 or args.time_grid) else "ralston"
     nfe = args.nfe or DEFAULT_NFE[method]
+    steps = nfe_to_steps(nfe, method)
     engine_cfg = EngineConfig(
         mel=mel_cfg, vocoder=voc_cfg,
         sampler=SamplerConfig(
-            steps=nfe_to_steps(nfe, method), method=method,
+            steps=steps, method=method,
             cfg_strength=args.cfg_strength, sway_sampling_coef=args.sway,
-            time_grid=tuple(float(v) for v in args.time_grid.split(",")) if args.time_grid else None,
+            time_grid=(tuple(float(v) for v in args.time_grid.split(","))
+                       if args.time_grid else default_time_grid(method, steps)),
             cfg_interval=_parse_cfg_interval(args.cfg_interval) if args.cfg_interval else (0.0, 1.0),
             cfg_cache_period=args.cfg_cache,
         ),

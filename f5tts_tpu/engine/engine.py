@@ -255,11 +255,15 @@ class TTSEngine:
         is inherited verbatim from ``cfg.sampler``."""
         import dataclasses
 
+        from f5tts_tpu.sampling.euler import default_time_grid
+
         return dataclasses.replace(
             self.cfg.sampler, steps=steps, cfg_strength=cfg_strength,
-            # a configured pruned time grid only applies at its own step count
-            # (per-request nfe_step overrides fall back to the sway grid)
-            time_grid=self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps else None,
+            # a configured knot grid only applies at its own step count; other
+            # per-request nfe_step values re-resolve against the framework's
+            # per-(method, steps) recipe grids (sway when none)
+            time_grid=(self.cfg.sampler.time_grid if steps == self.cfg.sampler.steps
+                       else default_time_grid(self.cfg.sampler.method, steps)),
         )
 
     def _compiled(self, n: int, b: int, nt: int, steps: int, cfg_strength: float):

@@ -95,9 +95,10 @@ EVALS_PER_STEP = {"euler": 1, "midpoint": 2, "heun": 2, "ralston": 2, "rk4": 4}
 
 # user-facing NFE defaults per method, counting per-branch model evals (the
 # reference's nfe_step knob, utils_infer.py:49): euler 32 = the reference
-# recipe; the 2nd-order default is the certified serving recipe (20 evals =
-# ralston 10 intervals — BENCH.md round-2 quality certification)
-DEFAULT_NFE = {"euler": 32, "midpoint": 20, "heun": 20, "ralston": 20, "rk4": 20}
+# recipe; ralston 16 = the certified serving recipe (8 intervals on the
+# base-geometry-optimized knot grid — BENCH.md round-3 certification);
+# other 2nd-order methods keep the round-2 NFE-20 sway setting
+DEFAULT_NFE = {"euler": 32, "midpoint": 20, "heun": 20, "ralston": 16, "rk4": 20}
 
 
 def nfe_to_steps(nfe: int, method: str) -> int:
@@ -108,28 +109,48 @@ def nfe_to_steps(nfe: int, method: str) -> int:
     return max(nfe // EVALS_PER_STEP[method], 1)
 
 
-# Optimized ralston knot grids (scripts/optimize_time_grid.py, round 3):
-# searched against the certification standard (mel-L2 to a 512-step truth of
-# the same guided ODE / the Euler-32 recipe's own error, WORST of three
-# toy-trained smoothness levels). The 8-interval grid reaches 0.51x recipe
-# error at HALF the recipe's forwards (sway-grid ralston8: 0.79x); the
-# 10-interval one 0.48x (sway: 0.69x). Artifact: TIME_GRID_SEARCH.json;
-# base-geometry on-chip re-certification in BENCH.md.
-OPT_GRID_RALSTON8 = (0.0, 0.153893, 0.287175, 0.445654, 0.543244, 0.625646,
-                     0.779247, 0.886762, 1.0)
-OPT_GRID_RALSTON10 = (0.0, 0.070795, 0.157103, 0.250432, 0.348633, 0.450625,
-                      0.60897, 0.663533, 0.718077, 0.885888, 1.0)
+# Optimized ralston knot grids (round 3). Tiny-geometry grids
+# (scripts/optimize_time_grid.py, TIME_GRID_SEARCH.json) did NOT transfer to
+# base geometry — knot placement is geometry-sensitive (QUALITY_BASE_OPTGRID:
+# 1.27x/1.11x) — so the shipping grid was searched directly at BASE geometry
+# on chip (scripts/optimize_time_grid_base.py, dynamic-knot solving,
+# TIME_GRID_BASE.json) and then certified on held-out fields the search never
+# saw (BENCH.md round-3 certification):
+#   base search field (toy-train 400):  0.79x recipe error
+#   base HOLDOUT field (toy-train 800): 0.99x   <- certifies, thin margin
+#   tiny fields 500/1000/2000:          0.58 / 0.69 / 0.63x
+# at 32 forwards = 50% of the reference recipe's compute.
+OPT_GRID_BASE_RALSTON8 = (0.0, 0.153893, 0.287175, 0.475823, 0.516263,
+                          0.661497, 0.745711, 0.918548, 1.0)
+# runner-up (NFE 20): never beat the plain sway-10 grid on holdouts (0.83 vs
+# 0.79) — kept for the record only, not wired anywhere.
+OPT_GRID_BASE_RALSTON10 = (0.0, 0.007097, 0.061681, 0.108993, 0.21397,
+                           0.317674, 0.412215, 0.54601, 0.690983, 0.843566, 1.0)
+
+# the framework's recipe grid per (method, intervals): ralston@8 uses the
+# base-geometry-optimized knots; everything else integrates the sway grid
+DEFAULT_TIME_GRIDS: dict[tuple[str, int], tuple[float, ...]] = {
+    ("ralston", 8): OPT_GRID_BASE_RALSTON8,
+}
+
+
+def default_time_grid(method: str, steps: int) -> tuple[float, ...] | None:
+    return DEFAULT_TIME_GRIDS.get((method, steps))
 
 
 def serving_default_sampler(**overrides) -> SamplerConfig:
-    """The certified serving default: Ralston RK2 at 10 intervals (NFE 40
-    total across both guidance branches — 40/64 the reference recipe's
-    forwards) with the recipe's CFG 2.0 / sway −1.0. Certified in BENCH.md:
-    its distance to the true guided-ODE solution measures 0.48-0.69x the
-    NFE-32 Euler recipe's own solver error on toy-trained fields. The exact
-    reference recipe stays available via method='euler', steps=32."""
-    kw = dict(method="ralston", steps=10)
+    """The certified serving default: Ralston RK2 at 8 intervals on the
+    base-geometry-optimized knot grid (NFE 32 total across both guidance
+    branches — HALF the reference recipe's forwards) with the recipe's CFG
+    2.0. Certified at-or-below the recipe's own solver error on every field
+    tested (two base-geometry chip fields + three tiny fields — table above
+    and in BENCH.md; worst margin 0.99x on the 800-step holdout). The
+    previous default (sway ralston@10, NFE 40, 0.79-0.90x) is
+    ``steps=10``; the exact reference recipe is method='euler', steps=32."""
+    kw = dict(method="ralston", steps=8, time_grid=OPT_GRID_BASE_RALSTON8)
     kw.update(overrides)
+    if kw.get("time_grid") is not None and len(kw["time_grid"]) != kw["steps"] + 1:
+        kw["time_grid"] = default_time_grid(kw["method"], kw["steps"])
     return SamplerConfig(**kw)
 
 

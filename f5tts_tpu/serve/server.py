@@ -156,16 +156,25 @@ class ModelService:
         if s.cfg_interval or s.cfg_cache > 1 or s.ode_method or s.nfe:
             import dataclasses
 
-            from f5tts_tpu.sampling.euler import DEFAULT_NFE, nfe_to_steps, parse_cfg_interval
+            from f5tts_tpu.sampling.euler import (
+                DEFAULT_NFE,
+                default_time_grid,
+                nfe_to_steps,
+                parse_cfg_interval,
+            )
 
             # euler-only accelerations force the euler integrator (Settings
             # validation already rejects an explicit non-euler ode_method)
             method = s.ode_method or ("euler" if (s.cfg_interval or s.cfg_cache > 1)
                                       else engine_cfg.sampler.method)
+            steps = nfe_to_steps(s.nfe or DEFAULT_NFE[method], method)
             sampler = dataclasses.replace(
                 engine_cfg.sampler,
                 method=method,
-                steps=nfe_to_steps(s.nfe or DEFAULT_NFE[method], method),
+                steps=steps,
+                # knot grids are (method, steps)-specific: re-resolve, never
+                # inherit the default grid into a different step count
+                time_grid=default_time_grid(method, steps),
                 cfg_interval=parse_cfg_interval(s.cfg_interval) if s.cfg_interval else (0.0, 1.0),
                 cfg_cache_period=s.cfg_cache,
             )

@@ -85,13 +85,16 @@ def main():
     for k in (int(v) for v in args.intervals.split(",")):
         solvers = {}
         for fs, params in fields.items():
-            solvers[fs] = jax.jit(lambda knots, _p=params: sample_cfm(
-                _p, cfg, sampler=SamplerConfig(steps=k, method="ralston"),
+            # params as an argument (closure constants serialize into the
+            # remote-compile request — fatal at base geometry, see the _base
+            # variant); harmless but consistent here
+            solvers[fs] = jax.jit(lambda p, knots: sample_cfm(
+                p, cfg, sampler=SamplerConfig(steps=k, method="ralston"),
                 time_grid_array=knots, **base_kwargs))
 
         def ratios(knots: np.ndarray) -> dict:
             kj = jnp.asarray(knots, jnp.float32)
-            return {fs: mel_l2(np.asarray(solvers[fs](kj), np.float32), truths[fs], gen_mask) / base_errs[fs]
+            return {fs: mel_l2(np.asarray(solvers[fs](fields[fs], kj), np.float32), truths[fs], gen_mask) / base_errs[fs]
                     for fs in fields}
 
         def worst(knots) -> float:

@@ -79,15 +79,18 @@ def main():
 
     results = {}
     for k in (int(v) for v in args.intervals.split(",")):
-        solver = jax.jit(lambda knots: sample_cfm(
-            params, cfg, sampler=SamplerConfig(steps=k, method="ralston"),
+        # params as an ARGUMENT, never a closure constant: closed-over
+        # arrays serialize into the remote-compile request and a 1.3 GB f32
+        # param tree kills the tunnel (broken pipe / HTTP 413)
+        solver = jax.jit(lambda p, knots: sample_cfm(
+            p, cfg, sampler=SamplerConfig(steps=k, method="ralston"),
             time_grid_array=knots, **kwargs))
 
         n_evals = [0]
 
         def ratio(knots) -> float:
             n_evals[0] += 1
-            out = np.asarray(solver(jnp.asarray(knots, jnp.float32)), np.float32)
+            out = np.asarray(solver(params, jnp.asarray(knots, jnp.float32)), np.float32)
             return mel_l2(out, truth, gen_mask) / base_err
 
         t0 = time.time()

@@ -107,14 +107,29 @@ def test_nfe_to_steps_counts_model_evals():
 
 
 def test_serving_default_is_certified_ralston():
+    from f5tts_tpu.sampling.euler import OPT_GRID_BASE_RALSTON8, default_time_grid
+
     s = serving_default_sampler()
-    assert (s.method, s.steps, s.cfg_strength, s.sway_sampling_coef) == ("ralston", 10, 2.0, -1.0)
+    # round-3 default: ralston@8 on the base-geometry-optimized knot grid
+    # (NFE 16/branch = HALF the reference recipe's forwards; certification in
+    # BENCH.md — every tested field at-or-below the recipe's solver error)
+    assert (s.method, s.steps, s.cfg_strength) == ("ralston", 8, 2.0)
+    assert s.time_grid == OPT_GRID_BASE_RALSTON8
+    assert len(s.time_grid) == s.steps + 1
 
     from f5tts_tpu.engine.engine import EngineConfig
 
     assert EngineConfig().sampler == s
     # the exact reference recipe stays reachable
     assert serving_default_sampler(method="euler", steps=32).steps == 32
+    assert serving_default_sampler(method="euler", steps=32).time_grid is None
+    # the previous sway default at NFE 20 stays reachable too
+    s10 = serving_default_sampler(steps=10)
+    assert s10.time_grid is None and s10.sway_sampling_coef == -1.0
+    # recipe-grid resolution is (method, steps)-exact
+    assert default_time_grid("ralston", 8) == OPT_GRID_BASE_RALSTON8
+    assert default_time_grid("ralston", 10) is None
+    assert default_time_grid("euler", 8) is None
 
 
 def test_engine_request_nfe_is_evals(tmp_path):
@@ -133,7 +148,7 @@ def test_engine_request_nfe_is_evals(tmp_path):
                     init_vocos(jax.random.PRNGKey(1), cfg.vocoder), tok, cfg)
     wav = np.sin(np.linspace(0, 400, 24000 // 4)).astype(np.float32)
     plan_default = eng.prepare_request("ab ab", wav, 24000, "ab")
-    assert plan_default.rows[0].steps == 10  # ralston default: NFE 20 -> 10 intervals
+    assert plan_default.rows[0].steps == 8  # ralston default: NFE 16 -> 8 intervals (r3)
     plan_32 = eng.prepare_request("ab ab", wav, 24000, "ab", nfe_step=32)
     assert plan_32.rows[0].steps == 16  # 32 evals at 2 evals/interval
 
