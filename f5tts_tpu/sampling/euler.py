@@ -95,10 +95,11 @@ EVALS_PER_STEP = {"euler": 1, "midpoint": 2, "heun": 2, "ralston": 2, "rk4": 4}
 
 # user-facing NFE defaults per method, counting per-branch model evals (the
 # reference's nfe_step knob, utils_infer.py:49): euler 32 = the reference
-# recipe; ralston 16 = the certified serving recipe (8 intervals on the
-# base-geometry-optimized knot grid — BENCH.md round-3 certification);
-# other 2nd-order methods keep the round-2 NFE-20 sway setting
-DEFAULT_NFE = {"euler": 32, "midpoint": 20, "heun": 20, "ralston": 16, "rk4": 20}
+# recipe; the 2nd-order default is the certified serving recipe (20 evals =
+# ralston 10 intervals — BENCH.md round-2 certification, re-confirmed at base
+# geometry in round 3; the round-3 hard-field investigation kept NFE 20, see
+# serving_default_sampler)
+DEFAULT_NFE = {"euler": 32, "midpoint": 20, "heun": 20, "ralston": 20, "rk4": 20}
 
 
 def nfe_to_steps(nfe: int, method: str) -> int:
@@ -139,17 +140,25 @@ def default_time_grid(method: str, steps: int) -> tuple[float, ...] | None:
 
 
 def serving_default_sampler(**overrides) -> SamplerConfig:
-    """The certified serving default: Ralston RK2 at 8 intervals on the
-    base-geometry-optimized knot grid (NFE 32 total across both guidance
-    branches — HALF the reference recipe's forwards) with the recipe's CFG
-    2.0. Certified at-or-below the recipe's own solver error on every field
-    tested (two base-geometry chip fields + three tiny fields — table above
-    and in BENCH.md; worst margin 0.99x on the 800-step holdout). The
-    previous default (sway ralston@10, NFE 40, 0.79-0.90x) is
-    ``steps=10``; the exact reference recipe is method='euler', steps=32."""
-    kw = dict(method="ralston", steps=8, time_grid=OPT_GRID_BASE_RALSTON8)
+    """The certified serving default: Ralston RK2 at 10 intervals on the sway
+    grid (NFE 40 total across both guidance branches — 40/64 the reference
+    recipe's forwards), CFG 2.0 / sway −1.0. Certification (BENCH.md):
+    0.48-0.69x the Euler-32 recipe's own solver error on the tiny 3-field
+    standard, 0.90x / 0.79x on two base-geometry chip fields.
+
+    Round-3 finding that kept this at NFE 20: on a SHARP base-geometry field
+    (1500-step toy-train, loss 0.28) no sub-recipe-cost config certifies —
+    this default measures 1.50x there, the NFE-16 optimized grid 1.84x, and
+    multi-field-searched grids bottom out at 1.08x (artifacts
+    QUALITY_BASE_HOLDOUT2.json, TIME_GRID_BASE_MULTI.json). The NFE-16
+    fast mode (``steps=8`` — auto-resolves the base-optimized knot grid,
+    certified 0.58-0.99x on five standard fields) and the exact reference
+    recipe (method='euler', steps=32) are each one knob away."""
+    kw = dict(method="ralston", steps=10)
     kw.update(overrides)
-    if kw.get("time_grid") is not None and len(kw["time_grid"]) != kw["steps"] + 1:
+    if kw.get("time_grid") is None:
+        kw["time_grid"] = default_time_grid(kw["method"], kw["steps"])
+    elif len(kw["time_grid"]) != kw["steps"] + 1:
         kw["time_grid"] = default_time_grid(kw["method"], kw["steps"])
     return SamplerConfig(**kw)
 

@@ -43,7 +43,9 @@ from quality_harness import build_prompts, toy_train
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--intervals", default="8")
-    p.add_argument("--toy-train", type=int, default=400)
+    p.add_argument("--fields", default="400",
+                   help="comma list of toy-train lengths; each needs its truth/base in "
+                        "--solve-cache{'' if 400 else _N} dirs; objective = WORST ratio across fields")
     p.add_argument("--prompts", type=int, default=6)
     p.add_argument("--sweeps", type=int, default=5)
     p.add_argument("--solve-cache", default="/tmp/qbase_cache")
@@ -56,23 +58,23 @@ def main():
     gen_mask = (np.arange(bucket)[None, :] >= lens[:, None]) & (np.arange(bucket)[None, :] < durations[:, None])
     y0 = sample_noise_from_seeds(jnp.asarray(seeds), bucket, cfg.mel_dim, jnp.asarray(durations))
 
-    truth = np.load(os.path.join(args.solve_cache, "truth.npy"))
-    base = np.load(os.path.join(args.solve_cache, "base.npy"))
-    base_err = mel_l2(base, truth, gen_mask)
-    print(f"recipe err (cached): {base_err:.5f}", flush=True)
+    from f5tts_tpu.models.convert import load_params_npz, save_params_npz
 
-    pcache = os.path.join(args.solve_cache, f"field_params_{args.toy_train}.npz")
-    if os.path.exists(pcache):
-        from f5tts_tpu.models.convert import load_params_npz
-
-        params = jax.tree.map(jnp.asarray, load_params_npz(pcache))
-        print(f"loaded toy-trained field from {pcache}", flush=True)
-    else:
-        print(f"toy-training base field ({args.toy_train} steps)...", flush=True)
-        params = toy_train(init_dit(jax.random.PRNGKey(0), cfg), cfg, args.toy_train)
-        from f5tts_tpu.models.convert import save_params_npz
-
-        save_params_npz(pcache, jax.tree.map(np.asarray, params))
+    field_steps = [int(v) for v in args.fields.split(",")]
+    fields, truths, base_errs = {}, {}, {}
+    for fs in field_steps:
+        cdir = args.solve_cache if fs == 400 else f"{args.solve_cache}_{fs}"
+        truths[fs] = np.load(os.path.join(cdir, "truth.npy"))
+        base_errs[fs] = mel_l2(np.load(os.path.join(cdir, "base.npy")), truths[fs], gen_mask)
+        print(f"field {fs}: recipe err (cached) {base_errs[fs]:.5f}", flush=True)
+        pcache = os.path.join(args.solve_cache, f"field_params_{fs}.npz")
+        if os.path.exists(pcache):
+            fields[fs] = jax.tree.map(jnp.asarray, load_params_npz(pcache))
+            print(f"  params loaded from {pcache}", flush=True)
+        else:
+            print(f"  toy-training ({fs} steps)...", flush=True)
+            fields[fs] = toy_train(init_dit(jax.random.PRNGKey(0), cfg), cfg, fs)
+            save_params_npz(pcache, jax.tree.map(np.asarray, fields[fs]))
 
     kwargs = dict(cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
                   text=jnp.asarray(text), duration=jnp.asarray(durations), y0=y0)
@@ -88,10 +90,14 @@ def main():
 
         n_evals = [0]
 
-        def ratio(knots) -> float:
+        def ratios(knots) -> dict:
             n_evals[0] += 1
-            out = np.asarray(solver(params, jnp.asarray(knots, jnp.float32)), np.float32)
-            return mel_l2(out, truth, gen_mask) / base_err
+            kj = jnp.asarray(knots, jnp.float32)
+            return {fs: mel_l2(np.asarray(solver(fields[fs], kj), np.float32), truths[fs], gen_mask) / base_errs[fs]
+                    for fs in fields}
+
+        def ratio(knots) -> float:
+            return max(ratios(knots).values())
 
         t0 = time.time()
         best_g, best_s = None, np.inf
@@ -120,12 +126,13 @@ def main():
             if not improved:
                 step *= 0.5
         results[k] = {"knots": [round(float(v), 6) for v in best_g],
-                      "search_field_ratio": round(best_s, 4), "nfe_per_branch": 2 * k,
-                      "evals": n_evals[0]}
+                      "worst_ratio": round(best_s, 4),
+                      "per_field_ratio": {str(fs): round(v, 4) for fs, v in ratios(best_g).items()},
+                      "nfe_per_branch": 2 * k, "evals": n_evals[0]}
         print(f"k={k}: best {json.dumps(results[k])}", flush=True)
 
     with open(args.out, "w") as f:
-        json.dump({"geometry": "base", "search_field": f"toy-trained:{args.toy_train}",
+        json.dump({"geometry": "base", "search_fields": field_steps,
                    "note": "search-field ratio only; certify on a holdout field before shipping",
                    "results": results}, f, indent=1)
     print(f"wrote {args.out}")

@@ -110,12 +110,10 @@ def test_serving_default_is_certified_ralston():
     from f5tts_tpu.sampling.euler import OPT_GRID_BASE_RALSTON8, default_time_grid
 
     s = serving_default_sampler()
-    # round-3 default: ralston@8 on the base-geometry-optimized knot grid
-    # (NFE 16/branch = HALF the reference recipe's forwards; certification in
-    # BENCH.md — every tested field at-or-below the recipe's solver error)
-    assert (s.method, s.steps, s.cfg_strength) == ("ralston", 8, 2.0)
-    assert s.time_grid == OPT_GRID_BASE_RALSTON8
-    assert len(s.time_grid) == s.steps + 1
+    # the certified default: ralston@10 on the sway grid (NFE 20/branch; the
+    # round-3 hard-field investigation kept this — BENCH.md)
+    assert (s.method, s.steps, s.cfg_strength, s.sway_sampling_coef) == ("ralston", 10, 2.0, -1.0)
+    assert s.time_grid is None
 
     from f5tts_tpu.engine.engine import EngineConfig
 
@@ -123,9 +121,9 @@ def test_serving_default_is_certified_ralston():
     # the exact reference recipe stays reachable
     assert serving_default_sampler(method="euler", steps=32).steps == 32
     assert serving_default_sampler(method="euler", steps=32).time_grid is None
-    # the previous sway default at NFE 20 stays reachable too
-    s10 = serving_default_sampler(steps=10)
-    assert s10.time_grid is None and s10.sway_sampling_coef == -1.0
+    # the NFE-16 fast mode auto-resolves the base-optimized knot grid
+    s8 = serving_default_sampler(steps=8)
+    assert s8.time_grid == OPT_GRID_BASE_RALSTON8
     # recipe-grid resolution is (method, steps)-exact
     assert default_time_grid("ralston", 8) == OPT_GRID_BASE_RALSTON8
     assert default_time_grid("ralston", 10) is None
@@ -148,7 +146,7 @@ def test_engine_request_nfe_is_evals(tmp_path):
                     init_vocos(jax.random.PRNGKey(1), cfg.vocoder), tok, cfg)
     wav = np.sin(np.linspace(0, 400, 24000 // 4)).astype(np.float32)
     plan_default = eng.prepare_request("ab ab", wav, 24000, "ab")
-    assert plan_default.rows[0].steps == 8  # ralston default: NFE 16 -> 8 intervals (r3)
+    assert plan_default.rows[0].steps == 10  # ralston default: NFE 20 -> 10 intervals
     plan_32 = eng.prepare_request("ab ab", wav, 24000, "ab", nfe_step=32)
     assert plan_32.rows[0].steps == 16  # 32 evals at 2 evals/interval
 
