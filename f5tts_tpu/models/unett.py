@@ -131,8 +131,22 @@ def unett_forward(
     h = jnp.concatenate([t[:, None, :], h], axis=1)
     if mask is not None:
         mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+    n1 = n + 1
+    # The time token makes the sequence n+1, which breaks the flash kernels'
+    # n % 128 requirement — an unpadded 1025 silently fell back to XLA
+    # attention (~2.6x the attention cost; found by the round-3 E2TTS bench).
+    # Pad to the next 128 multiple: padded KEYS are masked out, padded query
+    # rows compute garbage and are sliced off with the time token at the end.
+    pad = (-n1) % 128
+    if pad and cfg.attn_impl == "flash":
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        if mask is None:
+            mask = jnp.broadcast_to(jnp.arange(n1 + pad)[None, :] < n1, (b, n1 + pad))
+        else:
+            mask = jnp.pad(mask, ((0, 0), (0, pad)), constant_values=False)
+        n1 = n1 + pad
 
-    freqs = jnp.asarray(rotary_freqs(n + 1, cfg.dim_head))
+    freqs = jnp.asarray(rotary_freqs(n1, cfg.dim_head))
 
     def attn_ff(blk, hh):
         a = m.attention(
@@ -163,5 +177,5 @@ def unett_forward(
 
     h, _ = lax.scan(second_body, h, (params["second_half"], skips))
 
-    h = m.rms_norm(params["norm_out"], h)[:, 1:, :]
+    h = m.rms_norm(params["norm_out"], h)[:, 1 : n + 1, :]
     return m.linear(params["proj_out"], h)

@@ -82,3 +82,30 @@ def test_unett_in_sampler():
     )
     assert out.shape == (1, 48, 20)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_unett_flash_pad_matches_xla():
+    """The time token makes UNetT's sequence n+1; the flash path pads to the
+    next 128 multiple with masked keys (round-3 E2TTS geometry fix) — flash
+    (interpret) must equal the XLA path for masked and unmasked rows."""
+    import dataclasses
+
+    from f5tts_tpu.models.unett import UNetTConfig, init_unett, unett_forward
+
+    cfg_x = UNetTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=12,
+                        text_num_embeds=24, text_dim=32, conv_layers=1, attn_impl="xla")
+    cfg_f = dataclasses.replace(cfg_x, attn_impl="flash")
+    params = init_unett(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(0)
+    b, n = 2, 128  # n+1 = 129 -> flash pads to 256
+    x = jnp.asarray(rng.standard_normal((b, n, 12)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, n, 12)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 24, (b, 16)), jnp.int32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    drop = jnp.asarray([False, True])
+    for mask in (None, jnp.asarray(np.arange(n)[None, :] < np.array([[n], [n - 40]])[:, 0, None])):
+        ox = unett_forward(params, cfg_x, x, cond, text, t, drop, drop, mask)
+        of = unett_forward(params, cfg_f, x, cond, text, t, drop, drop, mask)
+        assert ox.shape == of.shape == (b, n, 12)
+        valid = np.ones((b, n), bool) if mask is None else np.asarray(mask)
+        np.testing.assert_allclose(np.asarray(ox)[valid], np.asarray(of)[valid], atol=2e-5)
