@@ -45,7 +45,11 @@ def detect_silence(audio: np.ndarray, sr: int, min_silence_ms: int = 1000,
     a window of ``min_silence_ms`` is silent when its AGGREGATE rms is at or
     below the threshold amplitude; overlapping/nearby silent windows merge.
     Vectorized over a sample-squared cumsum instead of pydub's per-window
-    slices."""
+    slices. Deliberate float-domain divergence: pydub computes rms on int16
+    samples with int() truncation, so windows within ~1 LSB of the threshold
+    can classify differently and shift clip boundaries by a few ms (the
+    pipeline goldens tolerate <=2 ms of drift); this float pipeline does not
+    round-trip through int16."""
     seg_ms = _ms_len(audio, sr)
     if seg_ms < min_silence_ms:
         return []

@@ -137,6 +137,26 @@ class ParlerTTSEngine:
         self.encode_fn = encode_fn
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self._cache: dict = {}
+        # streaming programs are keyed by per-request values (frames, window
+        # width) with unbounded distinct values over process lifetime — LRU
+        # bounded so serving many distinct frames= requests can't grow
+        # compiled-program memory forever (batch programs stay unbounded:
+        # their keys come from the finite bucket lists)
+        from collections import OrderedDict
+
+        self._stream_cache: OrderedDict = OrderedDict()
+        self.stream_cache_max = 64
+
+    def _stream_program(self, key, build):
+        """LRU-bounded compile cache for the streaming path."""
+        if key in self._stream_cache:
+            self._stream_cache.move_to_end(key)
+            return self._stream_cache[key]
+        fn = build()
+        self._stream_cache[key] = fn
+        while len(self._stream_cache) > self.stream_cache_max:
+            self._stream_cache.popitem(last=False)
+        return fn
 
     def _pad_ids(self, ids_list, pad_to, side: str = "right"):
         """Prompts pad LEFT (official ParlerTTS batched inference: every
@@ -285,8 +305,7 @@ class ParlerTTSEngine:
         max_code = self.dac_cfg.codebook_size
         hop = self.dac_cfg.hop
 
-        skey = ("stream_seg", seg, frames)
-        if skey not in self._cache:
+        def build_seg():
             def seg_fn(t5_p, dec_p, desc, desc_mask, pr, pr_mask, carry, js, row_seeds):
                 enc = P.t5_encode(t5_p, self.t5_cfg, desc, desc_mask, compute_dtype=self.compute_dtype)
                 return P.parler_decode_segment(
@@ -295,15 +314,15 @@ class ParlerTTSEngine:
                     temperature=cfg.temperature, top_k=cfg.top_k,
                     row_seeds=row_seeds, compute_dtype=self.compute_dtype)
 
-            self._cache[skey] = jax.jit(seg_fn, static_argnames=())
-        seg_fn = self._cache[skey]
+            return jax.jit(seg_fn, static_argnames=())
+
+        seg_fn = self._stream_program(("stream_seg", seg, frames), build_seg)
 
         def dac_win(width: int):
-            wkey = ("stream_dac", width)
-            if wkey not in self._cache:
-                self._cache[wkey] = jax.jit(lambda dac_p, codes: P.dac_decode_codes(
-                    dac_p, codes, self.dac_cfg, compute_dtype=self.compute_dtype))
-            return self._cache[wkey]
+            return self._stream_program(
+                ("stream_dac", width),
+                lambda: jax.jit(lambda dac_p, codes: P.dac_decode_codes(
+                    dac_p, codes, self.dac_cfg, compute_dtype=self.compute_dtype)))
 
         args = (jnp.asarray(desc), jnp.asarray(desc_mask), jnp.asarray(pr), jnp.asarray(pr_mask))
         carry = None

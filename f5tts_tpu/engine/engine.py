@@ -409,7 +409,7 @@ class TTSEngine:
             wave = wave * rms / self.cfg.target_rms
         return wave, TARGET_SR, gen_mel
 
-    def warmup(self, buckets: list[tuple[int, int]] | None = None, nfe_step: int | None = None,
+    def warmup(self, buckets: list[tuple[int, int]] | None = None, *, nfe_step: int | None = None,
                cfg_strength: float | None = None) -> None:
         """Pre-compile (duration, batch) buckets so the first request doesn't
         pay XLA compile latency (the reference has no AOT story at all).

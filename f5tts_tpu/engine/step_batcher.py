@@ -1,0 +1,418 @@
+"""Step-level continuous batcher: requests join and leave RUNNING ODE solves
+at segment boundaries (SURVEY hard-part #4).
+
+The window batcher (``engine/batcher.py``) groups co-arriving jobs, then
+blocks in one monolithic solve — a request arriving 1 ms after a 2048-bucket
+solve launches waits the full solve before its own batch forms. Here the
+solve is decomposed into short device programs of ``segment_intervals`` ODE
+intervals each (``sampling/segment.py``), with per-row time knots as data:
+
+- the host regains control every segment and admits queued rows into FREE
+  SLOTS of running solve groups (slots open when a row finishes or a group
+  started below its width); a joining row starts its own trajectory at knot
+  0 while its neighbors continue mid-flight — per-row knots make the mix one
+  compiled program;
+- rows with different step counts / guidance strengths co-batch (both are
+  per-row data); completed rows are finalized (paste-back + vocode) and
+  their futures resolved while the rest of the group keeps solving;
+- when no compatible group has a free slot, a NEW group starts immediately —
+  concurrent groups interleave segment programs on the device queue, so the
+  max queue delay any request sees is one segment, not one solve.
+
+Serving contract is identical to ``ContinuousBatcher`` (submit/submit_async/
+start/stop/stats over ``RowSpec`` futures); the reference's serving path
+(``routes/speech.py:30-35``, one blocking request at a time) is the behavior
+both replace. Only the plain full-interval guidance path is supported (the
+serving default); engines configured with ``cfg_interval``/``cfg_cache_period``
+must keep the window batcher.
+
+State lives on device between segments (cond mel + trajectory, donated
+through each program) — only joined rows upload data and only finalized rows
+fetch results, so the segmentation adds per-call dispatch overhead but no
+extra HBM<->host traffic.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5tts_tpu.engine.batcher import OverloadedError
+from f5tts_tpu.engine.engine import RowSpec, TTSEngine, _bucket
+from f5tts_tpu.sampling.segment import finalize_rows, resolved_time_grid, solve_segment
+
+
+class SegmentPrograms:
+    """Compile cache for the three segmented-solve programs, bound to one
+    engine's params/config: ``set_row`` (admit: upload cond + seed noise into
+    a slot), ``seg`` (advance k intervals), ``fin`` (paste-back + vocode)."""
+
+    def __init__(self, engine: TTSEngine, segment_intervals: int):
+        s = engine.cfg.sampler
+        if s.cfg_cache_period > 1 or tuple(s.cfg_interval) != (0.0, 1.0) or s.cfg_null_reuse:
+            raise ValueError(
+                "step-level batching supports the plain full-interval guidance "
+                "path only; keep the window batcher for cfg_interval/cfg_cache/"
+                "null-reuse samplers")
+        self.engine = engine
+        self.k = segment_intervals
+        self.method = s.method
+        self._cache: dict = {}
+
+    def grid_for(self, steps: int) -> np.ndarray:
+        return resolved_time_grid(self.engine.cfg.sampler, steps)
+
+    def set_row(self, nb: int, bb: int):
+        key = ("set", nb, bb)
+        if key not in self._cache:
+            e = self.engine
+            mel = e.cfg.mel.n_mels
+            dtype = e.compute_dtype
+
+            def fn(cond, y, idx, cond_row, seed, dur_clipped):
+                cond = jax.lax.dynamic_update_slice(cond, cond_row[None], (idx, 0, 0))
+                # must equal sample_noise_from_seeds for this row: same key
+                # derivation, dtype, and duration mask (sample_cfm clips the
+                # duration BEFORE drawing noise — callers pass the clipped value)
+                noise = jax.random.normal(jax.random.PRNGKey(seed), (nb, mel), dtype)
+                noise = jnp.where(jnp.arange(nb)[:, None] < dur_clipped, noise, 0.0)
+                y = jax.lax.dynamic_update_slice(y, noise[None], (idx, 0, 0))
+                return cond, y
+
+            self._cache[key] = jax.jit(fn, donate_argnums=(0, 1))
+        return self._cache[key]
+
+    def seg(self, nb: int, bb: int):
+        key = ("seg", nb, bb, self.k)
+        if key not in self._cache:
+            e = self.engine
+
+            def fn(dit_params, cond, cond_lens, text, duration, cfg_s, y, t0s, t1s, em):
+                return solve_segment(
+                    dit_params, e.dit_cfg, cond=cond, cond_lens=cond_lens,
+                    text=text, duration=duration, y=y, t0s=t0s, t1s=t1s,
+                    cfg_strength=cfg_s, method=self.method, edit_mask=em,
+                    compute_dtype=e.compute_dtype,
+                    forward_fn=e.forward_fn, embed_fn=e.embed_fn,
+                )
+
+            self._cache[key] = jax.jit(fn, donate_argnums=(6,))
+        return self._cache[key]
+
+    def fin(self, nb: int, bb: int):
+        key = ("fin", nb, bb)
+        if key not in self._cache:
+            e = self.engine
+
+            def fn(vocos_params, cond, cond_lens, text, duration, y, out_start, em):
+                return finalize_rows(
+                    e._decode, vocos_params, cond=cond, cond_lens=cond_lens,
+                    text=text, duration=duration, y=y, out_start=out_start,
+                    edit_mask=em, compute_dtype=e.compute_dtype,
+                )
+
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+
+@dataclass
+class _Job:
+    row: RowSpec
+    future: Future = field(default_factory=Future)
+
+
+@dataclass
+class _Slot:
+    job: _Job
+    grid: np.ndarray  # full knot grid for this row (steps+1,)
+    p: int = 0  # intervals completed
+    joined_mid_solve: bool = False
+
+    @property
+    def done(self) -> bool:
+        return self.p >= len(self.grid) - 1
+
+
+class SolveGroup:
+    """One running batched solve: fixed width ``bb``, duration bucket ``nb``,
+    device-resident (cond, y), host-side per-slot metadata."""
+
+    def __init__(self, progs: SegmentPrograms, nb: int, bb: int):
+        e = progs.engine
+        self.progs = progs
+        self.nb, self.bb = nb, bb
+        mel = e.cfg.mel.n_mels
+        self.cond = jnp.zeros((bb, nb, mel), jnp.float32)
+        self.y = jnp.zeros((bb, nb, mel), e.compute_dtype)
+        self.text = np.full((bb, e.cfg.text_pad), -1, np.int32)
+        self.cond_lens = np.full((bb,), 2, np.int32)
+        self.dur = np.full((bb,), 3, np.int32)
+        self.out_start = np.zeros((bb,), np.int32)
+        self.cfg_s = np.zeros((bb,), np.float32)
+        self.em = np.ones((bb, nb), bool)
+        self.slots: list[_Slot | None] = [None] * bb
+        self.age_segments = 0
+
+    def free_slots(self) -> list[int]:
+        return [i for i, s in enumerate(self.slots) if s is None]
+
+    def active(self) -> bool:
+        return any(s is not None and not s.done for s in self.slots)
+
+    def admit(self, job: _Job) -> None:
+        e = self.progs.engine
+        idx = self.free_slots()[0]
+        r = job.row
+        nb = self.nb
+        rf = min(r.ref_frames, nb)
+        cond_row = np.zeros((nb, e.cfg.mel.n_mels), np.float32)
+        cond_row[:rf] = r.cond_mel[:rf]
+        text_ids = e.tokenizer.encode([r.text], pad_to=e.cfg.text_pad)[0]
+        text_len = int(np.sum(text_ids != -1))
+        dur = min(r.duration, nb)
+        # the clipped duration sample_cfm would derive (noise is drawn under it)
+        lens = max(text_len, rf)
+        dur_clipped = min(max(lens + 1, dur), nb)
+        seed = r.seed if r.seed is not None else int(e._host_rng.integers(2**31 - 1))
+
+        self.text[idx] = text_ids
+        self.cond_lens[idx] = rf
+        self.dur[idx] = dur
+        self.cfg_s[idx] = r.cfg_strength
+        if r.edit_mask is None:
+            self.out_start[idx] = rf
+            self.em[idx] = True
+        else:
+            self.out_start[idx] = 0
+            self.em[idx] = True
+            self.em[idx, : min(len(r.edit_mask), nb)] = r.edit_mask[:nb]
+
+        fn = self.progs.set_row(nb, self.bb)
+        self.cond, self.y = fn(self.cond, self.y, np.int32(idx), cond_row,
+                               np.int32(seed), np.int32(dur_clipped))
+        self.slots[idx] = _Slot(job=job, grid=self.progs.grid_for(r.steps),
+                                joined_mid_solve=self.age_segments > 0)
+
+    def dispatch_segment(self):
+        """Queue one k-interval segment on the device (async); returns the
+        new y for the caller to optionally block on."""
+        k = self.progs.k
+        t0s = np.ones((k, self.bb), np.float32)
+        t1s = np.ones((k, self.bb), np.float32)
+        for i, s in enumerate(self.slots):
+            if s is None or s.done:
+                continue
+            knots = s.grid[s.p : s.p + k + 1]
+            if len(knots) < k + 1:  # tail segment: pad with dt=0 no-ops
+                knots = np.concatenate([knots, np.full(k + 1 - len(knots), s.grid[-1])])
+            t0s[:, i] = knots[:-1]
+            t1s[:, i] = knots[1:]
+        e = self.progs.engine
+        fn = self.progs.seg(self.nb, self.bb)
+        self.y = fn(e.dit_params, self.cond, self.cond_lens, self.text,
+                    self.dur, self.cfg_s, self.y, t0s, t1s, self.em)
+        for s in self.slots:
+            if s is not None and not s.done:
+                s.p = min(s.p + k, len(s.grid) - 1)
+        self.age_segments += 1
+        return self.y
+
+    def finalize_done(self) -> int:
+        """Resolve futures of completed slots (one fin program for all of
+        them); frees their slots. Returns the number finalized."""
+        done_idx = [i for i, s in enumerate(self.slots) if s is not None and s.done]
+        if not done_idx:
+            return 0
+        e = self.progs.engine
+        fn = self.progs.fin(self.nb, self.bb)
+        gen_mel, wave = fn(e.vocos_params, self.cond, self.cond_lens, self.text,
+                           self.dur, self.y, self.out_start, self.em)
+        wave = np.asarray(wave, np.float32)
+        gen_mel = np.asarray(gen_mel, np.float32)
+        for i in done_idx:
+            s = self.slots[i]
+            gen_len = int(self.dur[i]) - int(self.out_start[i])
+            if not s.job.future.done():
+                s.job.future.set_result(
+                    (wave[i, : e._wave_samples(gen_len)], gen_mel[i, :gen_len]))
+            self.slots[i] = None
+            # freed slot: degenerate knots keep it a no-op until re-admission
+            self.cfg_s[i] = 0.0
+        return len(done_idx)
+
+    def fail_all(self, exc: Exception) -> None:
+        for i, s in enumerate(self.slots):
+            if s is not None and not s.job.future.done():
+                s.job.future.set_exception(exc)
+            self.slots[i] = None
+
+
+class StepBatcher:
+    """Drop-in replacement for ``ContinuousBatcher`` with mid-solve
+    join/leave. ``segment_intervals`` trades dispatch overhead for join
+    latency: with the serving default (ralston@10) and k=2, a request waits
+    at most ~1/5 of a solve per running group before it is integrating."""
+
+    def __init__(self, engine: TTSEngine, segment_intervals: int = 2,
+                 max_queue: int = 256, max_groups: int = 8):
+        self.engine = engine
+        self.progs = SegmentPrograms(engine, segment_intervals)
+        self.max_queue = max_queue
+        self.max_groups = max_groups
+        self._jobs: list[_Job] = []
+        self._groups: list[SolveGroup] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread: threading.Thread | None = None
+        self.stats = {"batches": 0, "rows": 0, "max_batch_seen": 0,
+                      "segments": 0, "mid_solve_joins": 0, "groups_started": 0}
+
+    # -- ContinuousBatcher-compatible surface --------------------------------
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, name="tts-step-batcher", daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        with self._lock:
+            self._stop = True
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+            self._thread = None
+        with self._lock:
+            orphans, self._jobs = self._jobs, []
+        for job in orphans:
+            if not job.future.done():
+                job.future.set_exception(OverloadedError("batcher stopped during unload"))
+        for g in self._groups:
+            g.fail_all(OverloadedError("batcher stopped during unload"))
+        self._groups = []
+
+    def submit(self, row: RowSpec) -> Future:
+        job = _Job(row)
+        with self._lock:
+            if self._stop:
+                job.future.set_exception(OverloadedError("batcher stopped (model unloading)"))
+                return job.future
+            if len(self._jobs) >= self.max_queue:
+                job.future.set_exception(OverloadedError(f"batcher queue full ({self.max_queue})"))
+                return job.future
+            self._jobs.append(job)
+        self._wake.set()
+        return job.future
+
+    async def submit_async(self, row: RowSpec):
+        return await asyncio.wrap_future(self.submit(row))
+
+    # -- scheduler -----------------------------------------------------------
+
+    def _bucket_of(self, r: RowSpec) -> int:
+        return _bucket(max(r.duration, r.ref_frames + 2), self.engine.cfg.duration_buckets)
+
+    def _admit_queued(self) -> None:
+        with self._lock:
+            jobs, self._jobs = self._jobs, []
+        if not jobs:
+            return
+        cfg = self.engine.cfg
+        caps = dict(cfg.solve_batch_caps)
+        by_bucket: dict[int, list[_Job]] = {}
+        for j in jobs:
+            by_bucket.setdefault(self._bucket_of(j.row), []).append(j)
+        leftovers: list[_Job] = []
+        for nb, pend in by_bucket.items():
+            # fill free slots of running groups first (the mid-solve JOIN)
+            for g in self._groups:
+                if g.nb != nb:
+                    continue
+                for _ in g.free_slots():
+                    if not pend:
+                        break
+                    job = pend.pop(0)
+                    g.admit(job)
+                    self.stats["rows"] += 1
+                    if g.age_segments > 0:
+                        self.stats["mid_solve_joins"] += 1
+            # remaining jobs start new groups sized to the backlog
+            while pend:
+                if len(self._groups) >= self.max_groups:
+                    # backlog beyond the group cap waits for the next tick
+                    leftovers += pend
+                    pend = []
+                    break
+                cap = min(caps.get(nb, cfg.batch_buckets[-1]), cfg.batch_buckets[-1])
+                bb = _bucket(min(len(pend), cap), cfg.batch_buckets)
+                g = SolveGroup(self.progs, nb, bb)
+                self._groups.append(g)
+                self.stats["groups_started"] += 1
+                n_admit = min(len(pend), bb)
+                for job in pend[:n_admit]:
+                    g.admit(job)
+                    self.stats["rows"] += 1
+                pend = pend[n_admit:]
+                self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], n_admit)
+        if leftovers:
+            with self._lock:
+                self._jobs = leftovers + self._jobs
+
+    def _run(self):
+        while True:
+            if not self._groups:
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+            if self._stop:
+                break
+            try:
+                self._admit_queued()
+                if not self._groups:
+                    continue
+                # dispatch one segment per group (device queue interleaves),
+                # then block once so the host tick tracks device progress
+                ys = [g.dispatch_segment() for g in self._groups if g.active()]
+                if ys:
+                    jax.block_until_ready(ys[-1])
+                    self.stats["segments"] += len(ys)
+                for g in self._groups:
+                    n = g.finalize_done()
+                    if n:
+                        self.stats["batches"] += 1
+                self._groups = [g for g in self._groups
+                                if any(s is not None for s in g.slots)]
+            except Exception as e:  # pragma: no cover - defensive
+                for g in self._groups:
+                    g.fail_all(e)
+                self._groups = []
+                with self._lock:
+                    jobs, self._jobs = self._jobs, []
+                for job in jobs:
+                    if not job.future.done():
+                        job.future.set_exception(e)
+
+    # -- warmup --------------------------------------------------------------
+
+    def warmup(self, buckets: list[tuple[int, int]] | None = None) -> None:
+        """Pre-compile set/seg/fin for the expected (duration, batch) shapes
+        by running a tiny synthetic row through each group width."""
+        e = self.engine
+        buckets = buckets or [(e.cfg.duration_buckets[0], e.cfg.batch_buckets[0])]
+        for nb, bb in buckets:
+            g = SolveGroup(self.progs, nb, bb)
+            rng = np.random.default_rng(0)
+            row = RowSpec(text="warmup", cond_mel=rng.standard_normal((8, e.cfg.mel.n_mels)).astype(np.float32),
+                          ref_frames=8, duration=min(64, nb), steps=e.cfg.sampler.steps,
+                          cfg_strength=e.cfg.sampler.cfg_strength, seed=0)
+            g.admit(_Job(row))
+            while g.active():
+                jax.block_until_ready(g.dispatch_segment())
+            g.finalize_done()

@@ -159,7 +159,12 @@ def serving_default_sampler(**overrides) -> SamplerConfig:
     if kw.get("time_grid") is None:
         kw["time_grid"] = default_time_grid(kw["method"], kw["steps"])
     elif len(kw["time_grid"]) != kw["steps"] + 1:
-        kw["time_grid"] = default_time_grid(kw["method"], kw["steps"])
+        # an explicit grid that doesn't match the step count is a caller bug —
+        # silently swapping in the framework default would mask it
+        raise ValueError(
+            f"time_grid has {len(kw['time_grid'])} knots but steps={kw['steps']} "
+            f"needs {kw['steps'] + 1}; pass time_grid=None to use the framework default"
+        )
     return SamplerConfig(**kw)
 
 

@@ -209,9 +209,14 @@ class ModelService:
                      durations, batches)
             engine.warmup(buckets=[(d, b) for d in durations for b in batches])
         self.engine = engine
-        self.batcher = ContinuousBatcher(engine, s.max_batch, s.batch_wait_ms).start()
+        if s.batcher == "step":
+            from f5tts_tpu.engine.step_batcher import StepBatcher
+
+            self.batcher = StepBatcher(engine, s.batcher_segment_intervals).start()
+        else:
+            self.batcher = ContinuousBatcher(engine, s.max_batch, s.batch_wait_ms).start()
         self.voices = voices
-        log.info("models loaded (demo_tiny=%s)", s.demo_tiny)
+        log.info("models loaded (demo_tiny=%s, batcher=%s)", s.demo_tiny, s.batcher)
 
     def _load_parler_locked(self):
         """AR-branch serving (the TTS component the reference's deployment

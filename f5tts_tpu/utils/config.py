@@ -77,6 +77,14 @@ class Settings:
     # ~1.3x faster per generated frame than the reference's ~25 s chunks);
     # -1 = exact reference chunking budget (no cap); >0 = explicit bucket.
     chunk_budget: int = 0
+    # cross-request batching strategy: "window" = micro-batching of co-arriving
+    # jobs (engine/batcher.py); "step" = step-level continuous batching with
+    # mid-solve join/leave at ODE-segment boundaries (engine/step_batcher.py;
+    # plain-guidance samplers only — cfg_interval/cfg_cache fall back to window
+    # with a startup error if combined).
+    batcher: str = "window"
+    # ODE intervals per step-batcher segment (join-latency granularity)
+    batcher_segment_intervals: int = 2
 
     def __post_init__(self):
         for name in ("speech_rate_limit", "chat_rate_limit"):
@@ -105,6 +113,14 @@ class Settings:
             raise ValueError(f"vocoder_type must be vocos|bigvgan, got {self.vocoder_type!r}")
         if self.tts_model not in ("f5", "parler"):
             raise ValueError(f"tts_model must be f5|parler, got {self.tts_model!r}")
+        if self.batcher not in ("window", "step"):
+            raise ValueError(f"batcher must be window|step, got {self.batcher!r}")
+        if self.batcher == "step" and (self.cfg_interval or self.cfg_cache > 1):
+            raise ValueError(
+                "batcher=step supports the plain full-interval guidance path "
+                "only; drop cfg_interval/cfg_cache or use batcher=window")
+        if self.batcher_segment_intervals < 1:
+            raise ValueError("batcher_segment_intervals must be >= 1")
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":

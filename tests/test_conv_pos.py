@@ -1,6 +1,7 @@
 """Fused Pallas conv-position-embedding vs the XLA grouped reference."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ def _params(key, dim):
     return m.init_conv_pos_embedding(key, dim)
 
 
+@pytest.mark.slow
 def test_fused_conv_pos_matches_xla():
     dim, groups = 128, 16
     p = _params(jax.random.PRNGKey(0), dim)

@@ -170,6 +170,7 @@ def test_flash_train_gradients_match_sdpa():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_train_step_with_flash_attention():
     """A full CFM train step differentiates through the flash kernels."""
     import dataclasses

@@ -130,6 +130,18 @@ def test_serving_default_is_certified_ralston():
     assert default_time_grid("euler", 8) is None
 
 
+def test_serving_default_rejects_mismatched_explicit_grid():
+    """An explicit time_grid whose length doesn't match steps is a caller bug
+    — silently swapping in the framework default would mask it."""
+    import pytest
+
+    with pytest.raises(ValueError, match="knots"):
+        serving_default_sampler(steps=10, time_grid=(0.0, 0.5, 1.0))
+    # matching explicit grids pass through untouched
+    s = serving_default_sampler(steps=2, time_grid=(0.0, 0.5, 1.0))
+    assert s.time_grid == (0.0, 0.5, 1.0)
+
+
 def test_engine_request_nfe_is_evals(tmp_path):
     """A request's nfe_step counts evals/branch at ANY configured method."""
     from f5tts_tpu.engine.engine import EngineConfig, TTSEngine

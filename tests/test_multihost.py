@@ -24,6 +24,7 @@ import pytest
 # 4 processes subsumes the 2-process case (same launcher/mesh machinery
 # with strictly more coordination) — one case keeps suite wall-time down
 @pytest.mark.parametrize("n_proc", [4])
+@pytest.mark.slow
 def test_multiprocess_dp_tp_train_and_serve(n_proc):
     port = _free_port()
     procs = []

@@ -141,6 +141,7 @@ def test_delay_pattern_matches_hf():
     np.testing.assert_array_equal(rt, codes)
 
 
+@pytest.mark.slow
 def test_parler_generate_consistent_with_forward():
     """KV-cache incremental decode == teacher-forced forward (and == torch),
     verified by replaying the greedy generation through both full passes."""

@@ -13,6 +13,7 @@ from f5tts_tpu.parallel.ring_attention import cp_sharded, ring_attention
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 
 
+@pytest.mark.slow
 def test_dit_forward_with_ring_attention():
     """attn_impl='ring' under an ambient cp mesh == plain XLA forward."""
     import dataclasses
@@ -43,6 +44,7 @@ def test_dit_forward_with_ring_attention():
         np.testing.assert_allclose(out[bi][valid[bi]], ref[bi][valid[bi]], atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_cp_sampling_end_to_end():
     """Full ODE sampling with context-parallel attention matches single-device."""
     import dataclasses

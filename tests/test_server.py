@@ -257,6 +257,36 @@ def test_server_sampler_acceleration_knobs():
         loop.close()
 
 
+def test_server_step_batcher_mode():
+    """batcher=step serves concurrent speech requests through the step-level
+    continuous batcher (mid-solve join/leave path)."""
+    loop = asyncio.new_event_loop()
+    settings = Settings(demo_tiny=True, warmup=False, speech_rate_limit="100/minute",
+                        batcher="step")
+    app = build_app(settings)
+    server = TestServer(app, loop=loop)
+    c = TestClient(server, loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        async def burst():
+            reqs = [c.request("POST", "/v1/audio/speech",
+                              json={"text": f"step batched {i}.", "nfe_step": 2})
+                    for i in range(3)]
+            resps = await asyncio.gather(*reqs)
+            return [(r.status, await r.read()) for r in resps]
+
+        out = loop.run_until_complete(burst())
+        assert all(st == 200 and body[:4] == b"RIFF" for st, body in out)
+        svc = app["service"]
+        from f5tts_tpu.engine.step_batcher import StepBatcher
+
+        assert isinstance(svc.batcher, StepBatcher)
+        assert svc.batcher.stats["rows"] >= 3
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
+
+
 def test_streaming_response_carries_cors(client):
     """Streamed responses flush headers at prepare(); the CORS middleware
     can't add headers afterwards, so the stream handler must set them before
