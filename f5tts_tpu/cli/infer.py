@@ -40,6 +40,10 @@ def add_engine_args(p: argparse.ArgumentParser, short: bool = False) -> None:
     p.add_argument("--time-grid", default="", help="comma list of ODE time knots 0..1 (pruned-step schedules, overrides --nfe/--sway)")
     p.add_argument("--cfg-interval", default="", help="lo,hi guidance interval: CFG only on steps with t in [lo,hi) — one forward instead of two elsewhere (arXiv:2404.07724)")
     p.add_argument("--cfg-cache", type=int, default=1, help="guidance caching period k: refresh the null branch every k-th step, reuse in between (guidance stays on every step); 1 = off")
+    p.add_argument("--quality", default="default", choices=["default", "strict"],
+                   help="strict: monitor the embedded RK2 error estimate on-trajectory and "
+                        "auto-escalate to the exact reference recipe (euler-32) when it "
+                        "exceeds the calibrated threshold (sharp-field guard, BENCH.md)")
     p.add_argument("--speed", type=float, default=1.0)
     p.add_argument("--cross-fade", type=float, default=0.15)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -288,7 +292,7 @@ def main(argv=None):
             seg_text, v_audio, v_sr, v_text,
             speed=args.speed, fix_duration_secs=args.fix_duration,
             nfe_step=args.nfe or None, cfg_strength=args.cfg_strength, seed=args.seed,
-            cross_fade_duration=args.cross_fade,
+            cross_fade_duration=args.cross_fade, quality=args.quality,
         )
         waves.append(wave)
     if not waves:

@@ -43,6 +43,7 @@ class ContinuousBatcher:
         self._wake = threading.Event()
         self._stop = False
         self._thread: threading.Thread | None = None
+        self._inflight: list[_Job] = []  # batch being solved right now
         self.stats = {"batches": 0, "rows": 0, "max_batch_seen": 0}
 
     def start(self):
@@ -86,6 +87,25 @@ class ContinuousBatcher:
         return await asyncio.wrap_future(self.submit(row))
 
     def _run(self):
+        try:
+            self._run_loop()
+        finally:
+            # worker died (including BaseException a per-batch handler can't
+            # catch): fail queued jobs instead of pinning waiters, and flip
+            # _stop so later submits fail fast until a reload builds a fresh
+            # batcher (failure-injection contract, tests/test_failure_recovery.py)
+            with self._lock:
+                died = not self._stop
+                self._stop = True
+                orphans, self._jobs = self._jobs, []
+            if died:
+                for job in orphans + self._inflight:
+                    if not job.future.done():
+                        job.future.set_exception(
+                            OverloadedError("batcher worker died mid-batch"))
+                self._inflight = []
+
+    def _run_loop(self):
         while not self._stop:
             self._wake.wait(timeout=0.1)
             self._wake.clear()
@@ -105,6 +125,7 @@ class ContinuousBatcher:
                 jobs, self._jobs = self._jobs[: self.max_batch], self._jobs[self.max_batch :]
             if not jobs:
                 continue
+            self._inflight = jobs
             try:
                 results = self.engine.synthesize_rows([j.row for j in jobs])
                 for j, res in zip(jobs, results):
@@ -113,6 +134,9 @@ class ContinuousBatcher:
                 for j in jobs:
                     if not j.future.done():
                         j.future.set_exception(e)
+            # NOT a finally: a BaseException must leave _inflight set so the
+            # worker-death handler in _run can resolve the batch's futures
+            self._inflight = []
             self.stats["batches"] += 1
             self.stats["rows"] += len(jobs)
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(jobs))

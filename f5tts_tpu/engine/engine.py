@@ -79,6 +79,15 @@ class EngineConfig:
     # net long-form throughput (measured in BENCH.md config #4).
     # None = exact reference chunking contract (~25 s chunks).
     chunk_frames_budget: int | None = 1024
+    # quality=strict escalation threshold: per-row embedded-error estimate
+    # (RMSE over generated frames of the accumulated RK2-vs-Euler
+    # disagreement — same normalization as the certification metric) above
+    # which a strict row re-solves with the exact reference recipe
+    # (euler-32). Calibrated on the toy-field ladder (BENCH.md round-4):
+    # the estimate tracks field sharpness, and this value separates the
+    # fields where the RK2 default certifies from the sharp field where no
+    # sub-recipe-cost config does.
+    strict_threshold: float = 0.12
     # Floor on generated frames per chunk when chunk_frames_budget is set:
     # long references (clip cap is 15 s ~ 1406 frames, audio/preprocess.py)
     # can leave the configured bucket little or no room to generate, which
@@ -143,6 +152,11 @@ class RowSpec:
     cfg_strength: float = 2.0
     seed: int | None = None
     edit_mask: np.ndarray | None = None  # (duration,) bool; None = synthesis row
+    # "strict": solve with the embedded RK2 error estimate and auto-escalate
+    # to the exact reference recipe (euler-32) when it exceeds the calibrated
+    # threshold (EngineConfig.strict_threshold) — turns the sharp-field
+    # failure mode (BENCH.md round-3) into a detected, costed fallback
+    quality: str = "default"  # "default" | "strict"
 
 
 class TTSEngine:
@@ -202,6 +216,10 @@ class TTSEngine:
         # key on self and pin the engine + compiled graphs across reloads)
         self._compiled_cache: dict = {}
         self._edit_cache: dict = {}
+        # quality=strict observability: total recipe escalations + the last
+        # synthesize_rows call's per-row embedded-error estimates
+        self.escalations = 0
+        self.last_estimates: dict[int, float] = {}
         if cfg.vocoder_type == "bigvgan":
             from f5tts_tpu.models.bigvgan import BigVGANConfig, bigvgan_decode
 
@@ -266,11 +284,31 @@ class TTSEngine:
                        else default_time_grid(self.cfg.sampler.method, steps)),
         )
 
-    def _compiled(self, n: int, b: int, nt: int, steps: int, cfg_strength: float):
-        key = (n, b, nt, steps, cfg_strength)
+    def _supports_estimate(self) -> bool:
+        """quality=strict needs the embedded 2-stage estimate: a 2-eval
+        integrator on the plain guidance path. With the euler recipe (or the
+        cached/interval accelerations) configured, strict is a no-op — the
+        user already chose an exact-recipe or reduced-guidance trade."""
+        from f5tts_tpu.sampling.euler import EVALS_PER_STEP
+
+        s = self.cfg.sampler
+        return (EVALS_PER_STEP.get(s.method) == 2 and s.cfg_cache_period == 1
+                and tuple(s.cfg_interval) == (0.0, 1.0))
+
+    def _compiled(self, n: int, b: int, nt: int, steps: int, cfg_strength: float,
+                  estimate: bool = False, recipe: bool = False):
+        """``estimate``: the program also returns the per-row embedded error
+        (strict-mode groups). ``recipe``: solve with the EXACT reference
+        recipe (euler-32/sway, ``utils_infer.py:49-52``) regardless of the
+        engine's configured sampler — the escalation target."""
+        key = (n, b, nt, steps, cfg_strength, estimate, recipe)
         if key in self._compiled_cache:
             return self._compiled_cache[key]
-        sampler = self._request_sampler(steps, cfg_strength)
+        if recipe:
+            sampler = SamplerConfig(method="euler", steps=32, cfg_strength=cfg_strength,
+                                    sway_sampling_coef=-1.0)
+        else:
+            sampler = self._request_sampler(steps, cfg_strength)
 
         def fn(dit_params, vocos_params, cond, cond_lens, text, duration, seeds):
             mel_out = sample_cfm(
@@ -278,13 +316,18 @@ class TTSEngine:
                 cond=cond, cond_lens=cond_lens, text=text, duration=duration,
                 sampler=sampler, seeds=seeds, compute_dtype=self.compute_dtype,
                 forward_fn=self.forward_fn, embed_fn=self.embed_fn,
+                return_error_estimate=estimate,
             )
+            if estimate:
+                mel_out, est = mel_out
             # roll generated frames to origin; zero beyond generated length
             idx = (jnp.arange(n)[None, :] + cond_lens[:, None]) % n
             gen = jnp.take_along_axis(mel_out, idx[..., None], axis=1)
             gen_len = duration - cond_lens
             gen = jnp.where(jnp.arange(n)[None, :, None] < gen_len[:, None, None], gen, 0.0)
             wave = self._decode(vocos_params, gen)
+            if estimate:
+                return gen.astype(jnp.float32), wave, est
             return gen.astype(jnp.float32), wave
 
         self._compiled_cache[key] = jax.jit(fn)
@@ -454,10 +497,13 @@ class TTSEngine:
         cfg_strength: float | None = None,
         seed: int | None = None,
         cross_fade_duration: float | None = None,
+        quality: str = "default",
     ) -> "RequestPlan":
         """Host-side preprocessing: ref conditioning, chunking, durations ->
         the RowSpecs to synthesize. Used by both the direct path and the
         cross-request continuous batcher."""
+        if quality not in ("default", "strict"):
+            raise ValueError(f"quality must be default|strict, got {quality!r}")
         cfg = self.cfg
         speed = speed if speed is not None else cfg.speed
         # nfe_step counts model evals per branch (the reference's knob);
@@ -495,7 +541,7 @@ class TTSEngine:
                                     cfg.mel.sample_rate, cfg.mel.hop_length),
                     cfg.max_duration,
                 ),
-                steps=steps, cfg_strength=guidance, seed=seed,
+                steps=steps, cfg_strength=guidance, seed=seed, quality=quality,
             )
             for c in chunks
         ]
@@ -608,13 +654,56 @@ class TTSEngine:
         out = self.synthesize_rows(rows)
         return [w for w, _ in out], [m_ for _, m_ in out]
 
+    def _pack_group(self, rows: list["RowSpec"], sub: list[int], nb: int, bb: int):
+        """Pack the rows at indices ``sub`` into padded batch arrays."""
+        cfg = self.cfg
+        pad_rows = bb - len(sub)
+        text_ids = self.tokenizer.encode([rows[i].text for i in sub], pad_to=cfg.text_pad)
+        if pad_rows:
+            text_ids = np.concatenate([text_ids, np.repeat(text_ids[:1], pad_rows, 0)])
+        cond = np.zeros((bb, nb, cfg.mel.n_mels), np.float32)
+        cond_lens = np.empty((bb,), np.int32)
+        dur = np.empty((bb,), np.int32)
+        out_start = np.empty((bb,), np.int32)
+        em = np.ones((bb, nb), bool)
+        seeds = np.empty((bb,), np.int32)
+        for row, i in enumerate(sub):
+            r = rows[i]
+            rf = min(r.ref_frames, nb)
+            cond[row, :rf] = r.cond_mel[:rf]
+            cond_lens[row] = rf
+            dur[row] = min(r.duration, nb)
+            if r.edit_mask is None:
+                out_start[row] = rf  # synthesis: return the generated tail
+            else:
+                out_start[row] = 0  # edit: return the whole utterance
+                em[row, : min(len(r.edit_mask), nb)] = r.edit_mask[:nb]
+            seeds[row] = r.seed if r.seed is not None else self._host_rng.integers(2**31 - 1)
+        if pad_rows:
+            cond[len(sub) :] = cond[0]
+            cond_lens[len(sub) :] = cond_lens[0]
+            dur[len(sub) :] = dur[0]
+            seeds[len(sub) :] = seeds[0]
+            out_start[len(sub) :] = out_start[0]
+            em[len(sub) :] = em[0]
+        return text_ids, cond, cond_lens, dur, out_start, em, seeds
+
     def synthesize_rows(self, rows: list["RowSpec"]) -> list[tuple[np.ndarray, np.ndarray]]:
         """Row-level batched synthesis: rows may carry *different* reference
         voices/durations (the cross-request continuous-batching primitive).
         Groups rows by (duration bucket, steps, cfg); one compiled call per
-        group. Returns per-row (wave, gen mel)."""
+        group. Returns per-row (wave, gen mel).
+
+        Rows with ``quality="strict"`` run through the estimating program;
+        any whose embedded-error estimate exceeds
+        ``cfg.strict_threshold`` are re-solved with the exact reference
+        recipe (euler-32) in a second pass (per-request quality escalation —
+        the sharp-field guard, BENCH.md round-4)."""
         cfg = self.cfg
         results: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(rows)
+        escalate: list[int] = []
+        can_estimate = self._supports_estimate()
+        self.last_estimates = {}  # row index -> embedded-error estimate (observability/tests)
 
         groups: dict[tuple, list[int]] = {}
         for i, r in enumerate(rows):
@@ -626,38 +715,12 @@ class TTSEngine:
             for start in range(0, len(idxs), cap):
                 sub = idxs[start : start + cap]
                 bb = _bucket(len(sub), cfg.batch_buckets)
-                pad_rows = bb - len(sub)
                 has_edit = any(rows[i].edit_mask is not None for i in sub)
+                want_est = (can_estimate and not has_edit
+                            and any(rows[i].quality == "strict" for i in sub))
 
-                text_ids = self.tokenizer.encode([rows[i].text for i in sub], pad_to=self.cfg.text_pad)
-                if pad_rows:
-                    text_ids = np.concatenate([text_ids, np.repeat(text_ids[:1], pad_rows, 0)])
-                cond = np.zeros((bb, nb, cfg.mel.n_mels), np.float32)
-                cond_lens = np.empty((bb,), np.int32)
-                dur = np.empty((bb,), np.int32)
-                out_start = np.empty((bb,), np.int32)
-                em = np.ones((bb, nb), bool)
-                for row, i in enumerate(sub):
-                    r = rows[i]
-                    rf = min(r.ref_frames, nb)
-                    cond[row, :rf] = r.cond_mel[:rf]
-                    cond_lens[row] = rf
-                    dur[row] = min(r.duration, nb)
-                    if r.edit_mask is None:
-                        out_start[row] = rf  # synthesis: return the generated tail
-                    else:
-                        out_start[row] = 0  # edit: return the whole utterance
-                        em[row, : min(len(r.edit_mask), nb)] = r.edit_mask[:nb]
-                seeds = np.empty((bb,), np.int32)
-                for row, i in enumerate(sub):
-                    seeds[row] = rows[i].seed if rows[i].seed is not None else self._host_rng.integers(2**31 - 1)
-                if pad_rows:
-                    cond[len(sub) :] = cond[0]
-                    cond_lens[len(sub) :] = cond_lens[0]
-                    dur[len(sub) :] = dur[0]
-                    seeds[len(sub) :] = seeds[0]
-                    out_start[len(sub) :] = out_start[0]
-                    em[len(sub) :] = em[0]
+                text_ids, cond, cond_lens, dur, out_start, em, seeds = \
+                    self._pack_group(rows, sub, nb, bb)
 
                 if has_edit:
                     # edit rows co-batch with synthesis rows: same solve, the
@@ -665,18 +728,54 @@ class TTSEngine:
                     fn = self._compiled_edit(nb, bb, steps, guidance)
                     args = (jnp.asarray(em), jnp.asarray(out_start), jnp.asarray(seeds))
                 else:
-                    fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance)
+                    fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance,
+                                        estimate=want_est)
                     args = (jnp.asarray(seeds),)
                 with GLOBAL_TIMER.stage(f"sample_decode_n{nb}_b{bb}"):
-                    gen_mel, wave = fn(
+                    out = fn(
                         self.dit_params, self.vocos_params,
                         jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
                         *args,
                     )
+                    gen_mel, wave = out[0], out[1]
                     jax.block_until_ready(wave)
                 gen_mel = np.asarray(gen_mel, np.float32)
                 wave = np.asarray(wave, np.float32)
+                est = np.asarray(out[2], np.float32) if want_est else None
                 for row, i in enumerate(sub):
                     gen_len = int(dur[row]) - int(out_start[row])
                     results[i] = (wave[row, : self._wave_samples(gen_len)], gen_mel[row, :gen_len])
+                    if est is not None:
+                        self.last_estimates[i] = float(est[row])
+                        if rows[i].quality == "strict" and est[row] > cfg.strict_threshold:
+                            escalate.append(i)
+
+        # escalation pass: re-solve flagged rows with the exact reference
+        # recipe (euler-32, same seeds -> same noise -> the recipe's output)
+        if escalate:
+            self.escalations += len(escalate)
+            by_bucket: dict[tuple, list[int]] = {}
+            for i in escalate:
+                r = rows[i]
+                nb = _bucket(max(r.duration, r.ref_frames + 2), cfg.duration_buckets)
+                by_bucket.setdefault((nb, r.cfg_strength), []).append(i)
+            for (nb, guidance), idxs in by_bucket.items():
+                cap = min(dict(cfg.solve_batch_caps).get(nb, cfg.batch_buckets[-1]), cfg.batch_buckets[-1])
+                for start in range(0, len(idxs), cap):
+                    sub = idxs[start : start + cap]
+                    bb = _bucket(len(sub), cfg.batch_buckets)
+                    text_ids, cond, cond_lens, dur, out_start, em, seeds = \
+                        self._pack_group(rows, sub, nb, bb)
+                    fn = self._compiled(nb, bb, cfg.text_pad, 32, guidance, recipe=True)
+                    with GLOBAL_TIMER.stage(f"escalate_n{nb}_b{bb}"):
+                        gen_mel, wave = fn(
+                            self.dit_params, self.vocos_params,
+                            jnp.asarray(cond), jnp.asarray(cond_lens),
+                            jnp.asarray(text_ids), jnp.asarray(dur), jnp.asarray(seeds))
+                        jax.block_until_ready(wave)
+                    gen_mel = np.asarray(gen_mel, np.float32)
+                    wave = np.asarray(wave, np.float32)
+                    for row, i in enumerate(sub):
+                        gen_len = int(dur[row]) - int(out_start[row])
+                        results[i] = (wave[row, : self._wave_samples(gen_len)], gen_mel[row, :gen_len])
         return results  # type: ignore[return-value]

@@ -272,6 +272,7 @@ class StepBatcher:
         self._wake = threading.Event()
         self._stop = False
         self._thread: threading.Thread | None = None
+        self._strict_pool = None
         self.stats = {"batches": 0, "rows": 0, "max_batch_seen": 0,
                       "segments": 0, "mid_solve_joins": 0, "groups_started": 0}
 
@@ -300,6 +301,21 @@ class StepBatcher:
         self._groups = []
 
     def submit(self, row: RowSpec) -> Future:
+        if getattr(row, "quality", "default") == "strict":
+            # strict rows need the full-solve embedded estimate + possible
+            # recipe escalation (engine.synthesize_rows); run them on a side
+            # thread so the segment loop stays unblocked — the device queue
+            # interleaves the strict solve with running segments
+            with self._lock:
+                if self._stop:
+                    f: Future = Future()
+                    f.set_exception(OverloadedError("batcher stopped (model unloading)"))
+                    return f
+            if self._strict_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._strict_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tts-strict")
+            return self._strict_pool.submit(lambda: self.engine.synthesize_rows([row])[0])
         job = _Job(row)
         with self._lock:
             if self._stop:
@@ -325,6 +341,17 @@ class StepBatcher:
             jobs, self._jobs = self._jobs, []
         if not jobs:
             return
+        not_yet_admitted = {id(j) for j in jobs}
+        try:
+            self._admit_jobs(jobs, not_yet_admitted)
+        except BaseException:
+            # a crash mid-admission must not drop drained-but-unadmitted jobs:
+            # re-queue them so the death handler (or the next tick) sees them
+            with self._lock:
+                self._jobs = [j for j in jobs if id(j) in not_yet_admitted] + self._jobs
+            raise
+
+    def _admit_jobs(self, jobs: list[_Job], not_yet_admitted: set[int]) -> None:
         cfg = self.engine.cfg
         caps = dict(cfg.solve_batch_caps)
         by_bucket: dict[int, list[_Job]] = {}
@@ -341,6 +368,7 @@ class StepBatcher:
                         break
                     job = pend.pop(0)
                     g.admit(job)
+                    not_yet_admitted.discard(id(job))
                     self.stats["rows"] += 1
                     if g.age_segments > 0:
                         self.stats["mid_solve_joins"] += 1
@@ -359,6 +387,7 @@ class StepBatcher:
                 n_admit = min(len(pend), bb)
                 for job in pend[:n_admit]:
                     g.admit(job)
+                    not_yet_admitted.discard(id(job))
                     self.stats["rows"] += 1
                 pend = pend[n_admit:]
                 self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], n_admit)
@@ -367,6 +396,25 @@ class StepBatcher:
                 self._jobs = leftovers + self._jobs
 
     def _run(self):
+        try:
+            self._run_loop()
+        finally:
+            # worker died unexpectedly: resolve every outstanding future and
+            # fail fast on later submits (same contract as ContinuousBatcher)
+            with self._lock:
+                died = not self._stop
+                self._stop = True
+                orphans, self._jobs = self._jobs, []
+            if died:
+                exc = OverloadedError("batcher worker died mid-solve")
+                for job in orphans:
+                    if not job.future.done():
+                        job.future.set_exception(exc)
+                for g in self._groups:
+                    g.fail_all(exc)
+                self._groups = []
+
+    def _run_loop(self):
         while True:
             if not self._groups:
                 self._wake.wait(timeout=0.1)

@@ -222,6 +222,7 @@ def sample_cfm(
     knot_range: tuple[int, int] | None = None,
     paste_back: bool = True,
     time_grid_array: jnp.ndarray | None = None,
+    return_error_estimate: bool = False,
 ) -> jnp.ndarray:
     """Returns the sampled mel ``(b, n, mel)`` (cond frames pasted back).
 
@@ -230,8 +231,24 @@ def sample_cfm(
     returns the raw trajectory state instead of pasting cond frames — together
     they let a very fine solve (e.g. a 512-step quality-truth run) execute as
     several shorter device programs with host fetches in between (single
-    executions beyond a few minutes can crash the remote TPU worker)."""
+    executions beyond a few minutes can crash the remote TPU worker).
+
+    ``return_error_estimate=True`` (2-stage methods, plain guidance only)
+    additionally returns a per-row scalar ``(b,)``: the RMSE over generated
+    frames of the accumulated EMBEDDED error — the signed sum of each step's
+    RK2-vs-Euler disagreement ``c·dt·(k2−k1)`` (midpoint c=1, heun 1/2,
+    ralston 3/4). The two stage velocities are already computed, so the
+    estimate costs one extra accumulate buffer and zero model evals; it is
+    the on-trajectory signal the engine's ``quality=strict`` escalation
+    thresholds against (calibration: BENCH.md round-4)."""
     b, n, mel_dim = cond.shape
+
+    if return_error_estimate:
+        if EVALS_PER_STEP.get(sampler.method) != 2:
+            raise ValueError(
+                "return_error_estimate requires a 2-stage method (midpoint/heun/ralston)")
+        if sampler.cfg_cache_period > 1 or tuple(sampler.cfg_interval) != (0.0, 1.0):
+            raise ValueError("return_error_estimate supports plain full-interval guidance only")
 
     text_lens = jnp.sum(text != -1, axis=-1)
     lens = jnp.maximum(text_lens, cond_lens)
@@ -512,8 +529,74 @@ def sample_cfm(
 
         return step
 
+    # embedded-pair coefficient: y_RK2 − y_Euler = c·dt·(k2 − k1)
+    _EMB_COEF = {"midpoint": 1.0, "heun": 0.5, "ralston": 0.75}
+
+    def make_step_est(vel):
+        """2-stage step that ALSO accumulates the signed embedded error — the
+        same stage velocities, one extra multiply-add into the carry."""
+        s = sampler.cfg_strength
+        reuse = sampler.cfg_null_reuse and use_cfg
+        c = _EMB_COEF[sampler.method]
+
+        def evals(t0, y0_):
+            if reuse:
+                pred, null = velocity_pair(t0, y0_)
+                k1 = pred + (pred - null) * s
+
+                def later(t, x):
+                    p = cond_forward(t, x)
+                    return p + (p - null) * s
+
+                return k1, later
+            return vel(t0, y0_), vel
+
+        if sampler.method == "midpoint":
+
+            def step(carry, ts):
+                y, e = carry
+                t0, t1 = ts
+                dt = t1 - t0
+                k1, later = evals(t0, y)
+                k2 = later(t0 + 0.5 * dt, y + 0.5 * dt * k1)
+                return (y + dt * k2, e + (c * dt) * (k2 - k1)), None
+
+        elif sampler.method == "heun":
+
+            def step(carry, ts):
+                y, e = carry
+                t0, t1 = ts
+                dt = t1 - t0
+                k1, later = evals(t0, y)
+                k2 = later(t1, y + dt * k1)
+                return (y + dt * 0.5 * (k1 + k2), e + (c * dt) * (k2 - k1)), None
+
+        else:  # ralston (validated above)
+
+            def step(carry, ts):
+                y, e = carry
+                t0, t1 = ts
+                dt = t1 - t0
+                k1, later = evals(t0, y)
+                k2 = later(t0 + (2.0 / 3.0) * dt, y + (2.0 / 3.0) * dt * k1)
+                return (y + dt * (0.25 * k1 + 0.75 * k2), e + (c * dt) * (k2 - k1)), None
+
+        return step
+
+    est = None
     if velocity_plain is None:
-        y_final, _ = lax.scan(make_step(velocity), y0, (t_grid[:-1], t_grid[1:]))
+        if return_error_estimate:
+            (y_final, e_acc), _ = lax.scan(
+                make_step_est(velocity), (y0, jnp.zeros_like(y0)), (t_grid[:-1], t_grid[1:]))
+            # per-row RMSE over generated frames — the same normalization as
+            # the certification metric (eval/quality.py mel_l2), so thresholds
+            # calibrate directly against error-to-truth tables
+            gen_mask = attn_mask & ~cond_mask
+            denom = jnp.maximum(jnp.sum(gen_mask, axis=1) * mel_dim, 1).astype(jnp.float32)
+            est = jnp.sqrt(
+                jnp.sum(jnp.square(e_acc.astype(jnp.float32)) * gen_mask[..., None], axis=(1, 2)) / denom)
+        else:
+            y_final, _ = lax.scan(make_step(velocity), y0, (t_grid[:-1], t_grid[1:]))
     else:
         # partition the knot sequence into contiguous runs of guided /
         # unguided steps and scan each run with the matching body. The knots
@@ -540,6 +623,7 @@ def sample_cfm(
             vel = velocity if flags[i] else velocity_plain
             y_final, _ = lax.scan(make_step(vel), y_final, (seg[:-1], seg[1:]))
             i = j
-    if not paste_back:
-        return y_final
-    return jnp.where(cond_mask[..., None], cond, y_final)
+    out = y_final if not paste_back else jnp.where(cond_mask[..., None], cond, y_final)
+    if return_error_estimate:
+        return out, est
+    return out

@@ -28,6 +28,17 @@ class SpeechRequest(BaseModel):
     cfg_strength: float = Field(default=2.0, ge=0.0, le=10.0)
     seed: int | None = None
     response_format: str = "wav"
+    # "strict": solve with the embedded error estimate and auto-escalate to
+    # the exact reference recipe (euler-32) when it exceeds the calibrated
+    # threshold — detected, costed fallback for sharp flow fields
+    quality: str = "default"
+
+    @field_validator("quality")
+    @classmethod
+    def _quality(cls, v):
+        if v not in ("default", "strict"):
+            raise ValueError("quality must be 'default' or 'strict'")
+        return v
 
     @field_validator("text", "input")
     @classmethod

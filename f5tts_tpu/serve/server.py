@@ -375,6 +375,7 @@ class ModelService:
                 plans.append(engine.prepare_request(
                     seg_text, ref_audio, ref_sr, ref_text,
                     speed=req.speed, nfe_step=req.nfe_step, cfg_strength=req.cfg_strength, seed=req.seed,
+                    quality=req.quality,
                 ))
             # chunk rows go through the continuous batcher so concurrent
             # requests (and segments) share batched ODE solves
@@ -385,6 +386,10 @@ class ModelService:
                 seg_wave, sr, _ = engine.finalize_request(plan, results)
                 waves.append(seg_wave)
             wave = waves[0] if len(waves) == 1 else np.concatenate(waves)
+            if not np.isfinite(wave).all():
+                # a NaN/Inf solve must fail THIS request (and count toward
+                # auto-reload) — never ship non-finite PCM to a client
+                raise RuntimeError("non-finite audio from solve (NaN/Inf): model fault")
         except web.HTTPException:
             raise
         except Exception as e:
@@ -414,6 +419,8 @@ class ModelService:
         try:
             fut = batcher.submit(ParlerRow(desc, req.effective_text, seed=req.seed or 0))
             wave, _ = fut.result(timeout=600)
+            if not np.isfinite(wave).all():
+                raise RuntimeError("non-finite audio from decode (NaN/Inf): model fault")
         except web.HTTPException:
             raise
         except ValueError as e:  # strict-length backstop inside the batch
@@ -785,10 +792,12 @@ def build_app(settings: Settings) -> web.Application:
                 f"f5tpu_model_loaded {int(service.loaded)}",
                 f"f5tpu_consecutive_failures {service.failures}",
                 f"f5tpu_reloads_total {service.reloads}",
+                f"f5tpu_quality_escalations_total {getattr(service.engine, 'escalations', 0)}",
             ]
             return web.Response(text="\n".join(lines) + "\n",
                                 content_type="text/plain", charset="utf-8")
-        return web.json_response({"stages": stages, "batcher": batcher})
+        return web.json_response({"stages": stages, "batcher": batcher,
+                                  "quality_escalations": getattr(service.engine, "escalations", 0)})
 
     async def profiler_start(request: web.Request) -> web.Response:
         check_auth(request)

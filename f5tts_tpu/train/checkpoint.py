@@ -36,3 +36,29 @@ def latest_step(directory: str) -> int | None:
         return None
     steps = [int(m.group(1)) for d in os.listdir(directory) if (m := re.fullmatch(r"(\d+)", d))]
     return max(steps) if steps else None
+
+
+def restore_latest(directory: str, template):
+    """Crash-tolerant resume: try checkpoints newest-first, skipping corrupt
+    or partially-written steps. An interrupted save normally leaves only an
+    uncommitted tmp dir (orbax commits with an atomic rename), but a torn
+    copy/truncated file inside a committed-looking step dir must degrade to
+    the previous good checkpoint, not brick resume
+    (failure-injection contract, tests/test_failure_recovery.py).
+
+    Returns ``(step, state)`` or ``(None, None)`` when nothing restorable."""
+    import logging
+
+    if not os.path.isdir(directory):
+        return None, None
+    steps = sorted(
+        (int(m.group(1)) for d in os.listdir(directory) if (m := re.fullmatch(r"(\d+)", d))),
+        reverse=True,
+    )
+    for step in steps:
+        try:
+            return step, restore_state(directory, step, template)
+        except Exception as e:  # corrupt/torn checkpoint: fall back one step
+            logging.getLogger("f5tpu.train").warning(
+                "checkpoint step %d unrestorable (%s) — falling back", step, e)
+    return None, None

@@ -263,11 +263,13 @@ class Trainer:
         state = init_train_state(jax.random.PRNGKey(self.train_cfg.seed), self.model_cfg, self.train_cfg)
         start_step = 0
         if self.checkpoint_dir:
-            from f5tts_tpu.train.checkpoint import latest_step, restore_state
+            # crash-tolerant: a torn/corrupt newest checkpoint (killed mid-
+            # write) falls back to the previous good step instead of raising
+            from f5tts_tpu.train.checkpoint import restore_latest
 
-            step = latest_step(self.checkpoint_dir)
+            step, restored = restore_latest(self.checkpoint_dir, state)
             if step is not None:
-                state = restore_state(self.checkpoint_dir, step, state)
+                state = restored
                 start_step = int(step)
         if self.mesh is not None:
             shardings = state_shardings(state, self.mesh)
