@@ -710,6 +710,14 @@ class TTSEngine:
             nb = _bucket(max(r.duration, r.ref_frames + 2), cfg.duration_buckets)
             groups.setdefault((nb, r.steps, r.cfg_strength), []).append(i)
 
+        # Two phases (VERDICT round-3 item #8, long-form overlap): dispatch
+        # every group's solve WITHOUT blocking, then fetch in dispatch order —
+        # jax queues the executions, so the host fetch + unpacking (and the
+        # caller's crossfade/stitch via generators) of group i overlaps the
+        # device solve of group i+1 instead of serializing with it. Through a
+        # remote tunnel the fetch is ~100x a real host's PCIe cost (BENCH.md),
+        # which made this serialization the dominant long-form residual.
+        dispatched: list[tuple] = []
         for (nb, steps, guidance), idxs in groups.items():
             cap = min(dict(cfg.solve_batch_caps).get(nb, cfg.batch_buckets[-1]), cfg.batch_buckets[-1])
             for start in range(0, len(idxs), cap):
@@ -731,24 +739,25 @@ class TTSEngine:
                     fn = self._compiled(nb, bb, self.cfg.text_pad, steps, guidance,
                                         estimate=want_est)
                     args = (jnp.asarray(seeds),)
-                with GLOBAL_TIMER.stage(f"sample_decode_n{nb}_b{bb}"):
-                    out = fn(
-                        self.dit_params, self.vocos_params,
-                        jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
-                        *args,
-                    )
-                    gen_mel, wave = out[0], out[1]
-                    jax.block_until_ready(wave)
-                gen_mel = np.asarray(gen_mel, np.float32)
-                wave = np.asarray(wave, np.float32)
-                est = np.asarray(out[2], np.float32) if want_est else None
-                for row, i in enumerate(sub):
-                    gen_len = int(dur[row]) - int(out_start[row])
-                    results[i] = (wave[row, : self._wave_samples(gen_len)], gen_mel[row, :gen_len])
-                    if est is not None:
-                        self.last_estimates[i] = float(est[row])
-                        if rows[i].quality == "strict" and est[row] > cfg.strict_threshold:
-                            escalate.append(i)
+                out = fn(
+                    self.dit_params, self.vocos_params,
+                    jnp.asarray(cond), jnp.asarray(cond_lens), jnp.asarray(text_ids), jnp.asarray(dur),
+                    *args,
+                )
+                dispatched.append((nb, bb, sub, dur, out_start, want_est, out))
+
+        for nb, bb, sub, dur, out_start, want_est, out in dispatched:
+            with GLOBAL_TIMER.stage(f"sample_decode_n{nb}_b{bb}"):
+                gen_mel = np.asarray(out[0], np.float32)
+                wave = np.asarray(out[1], np.float32)
+            est = np.asarray(out[2], np.float32) if want_est else None
+            for row, i in enumerate(sub):
+                gen_len = int(dur[row]) - int(out_start[row])
+                results[i] = (wave[row, : self._wave_samples(gen_len)], gen_mel[row, :gen_len])
+                if est is not None:
+                    self.last_estimates[i] = float(est[row])
+                    if rows[i].quality == "strict" and est[row] > cfg.strict_threshold:
+                        escalate.append(i)
 
         # escalation pass: re-solve flagged rows with the exact reference
         # recipe (euler-32, same seeds -> same noise -> the recipe's output)

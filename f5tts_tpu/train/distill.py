@@ -1,0 +1,225 @@
+"""Step distillation: compress the guided ODE solve into a few-step student.
+
+The serving cost of F5-TTS is ``NFE x 2`` transformer forwards (the CFG pair
+on every eval — ``/root/reference/src/server/f5_tts/model/cfm.py:167-176``);
+the reference recipe spends 64. Round-2/3 work took the integrator to the
+hardware's accuracy/cost frontier (BENCH.md): the certified Ralston default
+needs 40, and on sharp fields nothing at <= recipe cost certifies. The only
+remaining per-request lever is changing the MODEL, not the integrator — train
+a student whose *velocity field already includes guidance* and whose few-step
+Euler rollout reproduces the teacher's fine guided solve.
+
+Method (trajectory distillation with rollout-state targets):
+
+- Teacher: the frozen base weights. Its guided velocity is
+  ``v_g(t, y) = cond + s * (cond - null)`` — the exact field the serving
+  sampler integrates (``sampling/euler.py``).
+- Student: same architecture, initialized from the teacher weights, run with
+  both branches conditioned (no drop flags) — ONE forward per eval. The
+  student's Euler step on a K-knot grid is trained to match the teacher's
+  fine integration of each interval.
+- Targets from ROLLOUT states, not teacher-forcing: each training step rolls
+  the student (stop-grad) through its own K-step trajectory from fresh noise,
+  and at every visited state ``y_k`` regresses the student velocity against
+  ``(T_m(y_k, t_k -> t_{k+1}) - y_k) / dt`` where ``T_m`` is an m-substep
+  guided teacher solve of that interval. Training on the states the student
+  actually visits removes the exposure-bias gap that teacher-forcing leaves
+  at K as small as 4-8.
+
+Everything is one jitted step: rollout (lax.scan over knots), per-knot
+teacher fine solves (scan over substeps), and a single batched student
+forward over all K knots (knots folded into the batch axis -> one big MXU
+matmul instead of K small ones).
+
+Cost per training step at batch b: K student rollout forwards (b rows)
++ K*m fused teacher forwards (2b rows) + 1 student grad forward (K*b rows).
+
+This extends the training capability surface of the reference trainer
+(``/root/reference/src/server/f5_tts/model/trainer.py:24-380``); the
+distilled student serves through the same engine with
+``SamplerConfig(method='euler', steps=K, cfg_strength=0, time_grid=...)`` —
+see ``student_sampler``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from f5tts_tpu.models.dit import DiTConfig, dit_embed, dit_forward
+from f5tts_tpu.ops.masks import lens_to_mask
+from f5tts_tpu.sampling.euler import SamplerConfig, sample_noise_from_seeds, sway_time_grid
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    student_steps: int = 8          # K: Euler intervals the student serves at
+    substeps: int = 8               # m: teacher sub-steps per student interval
+    cfg_strength: float = 2.0       # guidance baked into the student
+    sway_sampling_coef: float | None = -1.0  # student knot grid warp
+    learning_rate: float = 1e-4
+    lr_decay_steps: int | None = None  # cosine decay to lr/100 over this many steps
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    seed: int = 0
+
+    @property
+    def time_grid(self) -> tuple[float, ...]:
+        g = np.linspace(0.0, 1.0, self.student_steps + 1)
+        if self.sway_sampling_coef is not None:
+            g = g + self.sway_sampling_coef * (np.cos(np.pi / 2 * g) - 1 + g)
+        g[0], g[-1] = 0.0, 1.0  # exact endpoints (float cos() dust breaks validation)
+        return tuple(float(v) for v in g)
+
+
+def student_sampler(cfg: DistillConfig) -> SamplerConfig:
+    """SamplerConfig that serves a distilled student: plain Euler on the
+    student's knot grid with guidance OFF (it is baked into the weights).
+    NFE = student_steps forwards TOTAL (no CFG pair)."""
+    return SamplerConfig(
+        steps=cfg.student_steps, cfg_strength=0.0,
+        sway_sampling_coef=None, method="euler", time_grid=cfg.time_grid,
+    )
+
+
+def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
+                      compute_dtype=jnp.float32):
+    """Returns ``(optimizer, step)`` where
+    ``step(student_params, opt_state, teacher_params, batch) ->
+    (student_params, opt_state, metrics)`` is pure and jit-able.
+
+    batch = dict(cond (b,n,mel), cond_lens (b,), text (b,nt), duration (b,),
+    seeds (b,)) — the same serving-shaped prompts ``sample_cfm`` takes.
+    """
+    if cfg.lr_decay_steps:
+        lr = optax.cosine_decay_schedule(cfg.learning_rate, cfg.lr_decay_steps,
+                                         alpha=0.01)
+    else:
+        lr = cfg.learning_rate
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(lr, weight_decay=cfg.weight_decay),
+    )
+    s = cfg.cfg_strength
+    K = cfg.student_steps
+    m = cfg.substeps
+    knots = jnp.asarray(cfg.time_grid, jnp.float32)
+
+    def step(student_params, opt_state, teacher_params, batch):
+        cond, cond_lens, text = batch["cond"], batch["cond_lens"], batch["text"]
+        duration, seeds = batch["duration"], batch["seeds"]
+        b, n, mel_dim = cond.shape
+
+        text_lens = jnp.sum(text != -1, axis=-1)
+        lens = jnp.maximum(text_lens, cond_lens)
+        cond_mask = lens_to_mask(lens, n)
+        duration = jnp.clip(jnp.maximum(lens + 1, duration), max=n)
+        attn_mask = lens_to_mask(duration, n)
+        step_cond = jnp.where(cond_mask[..., None], cond.astype(compute_dtype), 0.0)
+        gen_mask = (attn_mask & ~cond_mask)[..., None]
+
+        f = jnp.zeros((b,), bool)
+
+        # teacher guided velocity: one fused 2b forward (cond; null)
+        text2 = jnp.concatenate([text, text], axis=0)
+        drop_text2 = jnp.concatenate([f, ~f], axis=0)
+        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
+        t_emb2 = dit_embed(teacher_params, model_cfg, text2, n, drop_text2, mask2)
+        cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
+        drop_audio2 = drop_text2
+
+        def teacher_vel(t_scalar, y):
+            y2 = jnp.concatenate([y, y], axis=0)
+            out = dit_forward(
+                teacher_params, model_cfg, y2, cond2, None,
+                jnp.broadcast_to(t_scalar, (2 * b,)).astype(compute_dtype),
+                drop_audio2, drop_text2, mask2, text_emb=t_emb2,
+                compute_dtype=compute_dtype)
+            pred, null = out[:b], out[b:]
+            return pred + (pred - null) * s
+
+        # student velocity (single branch, guidance baked in); embedding is
+        # computed per-call from the STUDENT params (they train)
+        def student_vel(params, t_vec, y, rep: int):
+            emb = dit_embed(params, model_cfg,
+                            jnp.tile(text, (rep, 1)), n,
+                            jnp.zeros((rep * b,), bool),
+                            jnp.tile(attn_mask, (rep, 1)))
+            return dit_forward(
+                params, model_cfg, y, jnp.tile(step_cond, (rep, 1, 1)), None,
+                t_vec.astype(compute_dtype),
+                jnp.zeros((rep * b,), bool), jnp.zeros((rep * b,), bool),
+                jnp.tile(attn_mask, (rep, 1)), emb, compute_dtype=compute_dtype)
+
+        y0 = sample_noise_from_seeds(seeds, n, mel_dim, duration, compute_dtype)
+
+        # 1) student rollout (stop-grad): states y_k at every knot
+        sg = jax.lax.stop_gradient
+
+        def roll(y, ts):
+            t0, t1 = ts
+            v = student_vel(sg(student_params), jnp.broadcast_to(t0, (b,)), y, 1)
+            return y + (t1 - t0) * v, y
+
+        _, states = lax.scan(roll, y0, (knots[:-1], knots[1:]))  # (K, b, n, mel)
+        states = sg(states)
+
+        # 2) teacher fine solve of each interval from the rollout state
+        def interval_target(y_k, t0, t1):
+            sub = t0 + (t1 - t0) * jnp.linspace(0.0, 1.0, m + 1, dtype=jnp.float32)
+
+            def fine(y, ts):
+                a, c = ts
+                return y + (c - a) * teacher_vel(a, y), None
+
+            y_end, _ = lax.scan(fine, y_k, (sub[:-1], sub[1:]))
+            return (y_end - y_k) / (t1 - t0)
+
+        _, targets = lax.scan(
+            lambda _, xs: (None, interval_target(*xs)),
+            None, (states, knots[:-1], knots[1:]))
+        targets = sg(targets)  # (K, b, n, mel)
+
+        # 3) one batched student forward over all K knots (K*b rows)
+        def loss_fn(params):
+            t_vec = jnp.repeat(knots[:-1], b)              # (K*b,)
+            y_flat = states.reshape(K * b, n, mel_dim)
+            pred = student_vel(params, t_vec, y_flat, K)
+            err = (pred.astype(jnp.float32)
+                   - targets.reshape(K * b, n, mel_dim).astype(jnp.float32))
+            w = jnp.tile(gen_mask.astype(jnp.float32), (K, 1, 1))
+            return jnp.sum(jnp.square(err) * w) / jnp.maximum(jnp.sum(w) * mel_dim, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(student_params)
+        updates, opt_state = optimizer.update(grads, opt_state, student_params)
+        student_params = optax.apply_updates(student_params, updates)
+        return student_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return optimizer, step
+
+
+def distill(teacher_params, model_cfg: DiTConfig, cfg: DistillConfig,
+            prompt_fn, steps: int, compute_dtype=jnp.float32, log_every: int = 25,
+            logger=print):
+    """Run distillation: ``prompt_fn(rng) -> batch dict`` supplies serving-shaped
+    prompts (cond/cond_lens/text/duration/seeds as numpy). Returns student params."""
+    optimizer, step = make_distill_step(model_cfg, cfg, compute_dtype)
+    # init = teacher, with COPIED buffers: the jitted step donates the student
+    # pytree, and donating aliases of the teacher's (also-passed) arrays is an
+    # XLA error (`f(donate(a), a)`)
+    student = jax.tree.map(jnp.copy, teacher_params)
+    opt_state = optimizer.init(student)
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    rng = np.random.default_rng(cfg.seed)
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in prompt_fn(rng).items()}
+        student, opt_state, metrics = jstep(student, opt_state, teacher_params, batch)
+        if logger and (i % log_every == 0 or i == steps - 1):
+            logger(f"  distill step {i}: loss {float(metrics['loss']):.5f} "
+                   f"gnorm {float(metrics['grad_norm']):.3f}")
+    return student
