@@ -64,6 +64,9 @@ def build_engine(args):
         buckets, text_pad = t["buckets"], t["text_pad"]
     else:
         dit_cfg = DiTConfig.base() if args.geometry == "base" else DiTConfig.small()
+        # serving default on chip = flash attention (bench.py parity)
+        dit_cfg = type(dit_cfg)(**{**dit_cfg.__dict__,
+                                   "attn_impl": os.environ.get("BENCH_ATTN", "flash")})
         voc_cfg = VocosConfig()
         mel = MelConfig()
         buckets = (args.bucket,)

@@ -93,14 +93,17 @@ def main(argv=None):
         pmask = jnp.ones((b, 64), bool)
         seeds = jnp.arange(b, dtype=jnp.int32)
 
-        t5_fn = jax.jit(lambda ids, mask: P.t5_encode(t5_p, t5_cfg, ids, mask, compute_dtype=dt))
-        enc = t5_fn(ids, mask)
-        t_t5 = timed(t5_fn, ids, mask)
+        # params thread through as jit ARGUMENTS — closing a jitted fn over a
+        # 1.4 GB param tree serializes it into the remote-compile request and
+        # breaks the tunnel (round-3 gotcha, CLAUDE.md)
+        t5_fn = jax.jit(lambda p, ids, mask: P.t5_encode(p, t5_cfg, ids, mask, compute_dtype=dt))
+        enc = t5_fn(t5_p, ids, mask)
+        t_t5 = timed(t5_fn, t5_p, ids, mask)
 
         def make_decode(temperature, frames):
-            def fn(enc):
+            def fn(p, enc):
                 codes, lengths = P.parler_generate(
-                    dec_p, dec_cfg, enc, mask, frames, jax.random.PRNGKey(0),
+                    p, dec_cfg, enc, mask, frames, jax.random.PRNGKey(0),
                     prompt_ids=prompt, prompt_mask=pmask, eos_token=-1,
                     temperature=temperature, top_k=0, max_code=dac_cfg.codebook_size,
                     row_seeds=None if temperature <= 0 else seeds, compute_dtype=dt)
@@ -108,13 +111,13 @@ def main(argv=None):
             return jax.jit(fn)
 
         dec_fn = make_decode(1.0, args.frames)
-        codes = dec_fn(enc)
-        t_dec = timed(dec_fn, enc)
-        t_dec_greedy = timed(make_decode(0.0, args.frames), enc)
-        t_dec_half = timed(make_decode(1.0, args.frames // 2), enc)
+        codes = dec_fn(dec_p, enc)
+        t_dec = timed(dec_fn, dec_p, enc)
+        t_dec_greedy = timed(make_decode(0.0, args.frames), dec_p, enc)
+        t_dec_half = timed(make_decode(1.0, args.frames // 2), dec_p, enc)
 
-        dac_fn = jax.jit(lambda codes: P.dac_decode_codes(dac_p, codes, dac_cfg, compute_dtype=dt))
-        t_dac = timed(dac_fn, codes)
+        dac_fn = jax.jit(lambda p, codes: P.dac_decode_codes(p, codes, dac_cfg, compute_dtype=dt))
+        t_dac = timed(dac_fn, dac_p, codes)
 
         # roofline: avg cache prefix ~ steps/2 (+prompt+1), k+v, all layers
         n_kv = dec_cfg.n_kv
