@@ -41,6 +41,10 @@ def main(argv=None):
     p = argparse.ArgumentParser("parler-roofline")
     p.add_argument("--frames", type=int, default=430)
     p.add_argument("--batches", default="8,16,32")
+    p.add_argument("--depth-knockout", action="store_true",
+                   help="also time a half-depth (12-layer) decode at each "
+                        "batch: if time halves, the cost is per-layer weight "
+                        "streaming; if not, it's fixed per-step overhead")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--out", default="PARLER_ROOFLINE.json")
     args = p.parse_args(argv)
@@ -119,6 +123,25 @@ def main(argv=None):
         dac_fn = jax.jit(lambda p, codes: P.dac_decode_codes(p, codes, dac_cfg, compute_dtype=dt))
         t_dac = timed(dac_fn, dac_p, codes)
 
+        t_dec_half_depth = None
+        if args.depth_knockout:
+            import dataclasses
+
+            half_cfg = dataclasses.replace(dec_cfg, layers=dec_cfg.layers // 2)
+            half_p = dict(dec_p)
+            half_p["blocks"] = jax.tree.map(lambda x: x[: dec_cfg.layers // 2],
+                                            dec_p["blocks"])
+
+            def half_fn(p, enc):
+                codes, _ = P.parler_generate(
+                    p, half_cfg, enc, mask, args.frames, jax.random.PRNGKey(0),
+                    prompt_ids=prompt, prompt_mask=pmask, eos_token=-1,
+                    temperature=1.0, top_k=0, max_code=dac_cfg.codebook_size,
+                    row_seeds=seeds, compute_dtype=dt)
+                return codes
+
+            t_dec_half_depth = timed(jax.jit(half_fn), half_p, enc)
+
         # roofline: avg cache prefix ~ steps/2 (+prompt+1), k+v, all layers
         n_kv = dec_cfg.n_kv
         head_dim = dec_cfg.head_dim
@@ -133,6 +156,8 @@ def main(argv=None):
             "t5_ms": t_t5 * 1e3, "decode_ms": t_dec * 1e3, "dac_ms": t_dac * 1e3,
             "decode_greedy_ms": t_dec_greedy * 1e3,
             "decode_half_frames_ms": t_dec_half * 1e3,
+            **({"decode_half_depth_ms": t_dec_half_depth * 1e3}
+               if t_dec_half_depth is not None else {}),
             "step_us": t_step * 1e6,
             "step_bound_us": t_step_bound * 1e6,
             "bw_efficiency": t_step_bound / t_step,

@@ -202,3 +202,28 @@ def test_parler_streaming_equals_batch_with_eos():
     stream = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
     assert stream.shape == full.shape, (stream.shape, full.shape, cand)
     np.testing.assert_allclose(stream, full, atol=1e-5)
+
+
+def test_parler_desc_cache_exactness_and_bound():
+    """The style-description encoder cache: a warm batch (every description
+    cached) runs the enc-input program (no T5) and must produce EXACTLY the
+    cold batch's waves (enc round-trips bf16->f32->bf16 bit-identically);
+    the cache is LRU-bounded."""
+    from f5tts_tpu.engine.ar_engine import ParlerRow
+
+    eng = _tiny_parler_engine(temperature=0.9, top_k=8)
+    rows = [ParlerRow("calm voice.", f"utterance {i}.", seed=100 + i) for i in range(3)]
+    cold = [w for w, _ in eng.synthesize_rows(rows)]
+    assert eng.desc_cache_misses > 0 and eng.desc_cache_hits == 0
+    warm = [w for w, _ in eng.synthesize_rows(rows)]
+    assert eng.desc_cache_hits > 0
+    for c, w in zip(cold, warm):
+        np.testing.assert_array_equal(c, w)
+    # the warm run compiled the enc-input variant
+    assert any(k[-1] is True for k in eng._cache)
+
+    # LRU bound: flood with distinct styles
+    eng.desc_cache_max = 4
+    for i in range(8):
+        eng.synthesize_rows([ParlerRow(f"style {i}.", "hello.", seed=i)])
+    assert len(eng._desc_cache) <= 4
