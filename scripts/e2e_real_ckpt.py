@@ -111,9 +111,16 @@ def main():
 
     # --- the framework's real loading path: CLI convert -> npz -------------
     npz = args.ckpt.replace(".pt", ".npz")
+    # vocab file sized to the checkpoint's text embedding (IndicF5 = 2545)
+    vocab_path = args.ckpt.replace(".pt", "_vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write(" \n")
+        for i in range(2544):
+            f.write(f"tok{i}\n")
     t0 = time.time()
     subprocess.run([sys.executable, "-m", "f5tts_tpu.cli.convert",
-                    "--ckpt", args.ckpt, "--model", "F5TTS_Base", "--out", npz],
+                    "--ckpt", args.ckpt, "--model", "F5TTS_Base",
+                    "--vocab", vocab_path, "--out", npz],
                    check=True, cwd=REPO,
                    env={**os.environ, "JAX_PLATFORMS": "cpu"})
     print(f"  f5tpu-convert -> {npz} ({time.time()-t0:.0f}s)", flush=True)
@@ -126,7 +133,8 @@ def main():
     from f5tts_tpu.sampling.euler import SamplerConfig
     from f5tts_tpu.text.tokenizer import Tokenizer
 
-    cfg = DiTConfig.base()
+    # IndicF5's real vocab size (2545), matching the synthesized checkpoint
+    cfg = DiTConfig(**{**DiTConfig.base().__dict__, "text_num_embeds": 2545})
     params = load_f5_checkpoint(npz, cfg)
     n_loaded = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     assert n_loaded == n_params, (n_loaded, n_params)

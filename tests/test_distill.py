@@ -98,3 +98,31 @@ def test_student_sampler_shape():
     assert s.cfg_strength == 0.0 and s.steps == 8
     assert len(s.time_grid) == 9
     assert s.time_grid[0] == 0.0 and s.time_grid[-1] == 1.0
+
+
+def test_engine_serves_student_sampler(teacher):
+    """A distilled student serves through the standard engine: SamplerConfig
+    from student_sampler (euler on the student grid, guidance OFF — baked
+    into the weights) drives the single-branch solve path end-to-end."""
+    from f5tts_tpu.engine.engine import EngineConfig, RowSpec, TTSEngine
+    from f5tts_tpu.models.vocos import VocosConfig, init_vocos
+    from f5tts_tpu.ops.mel import MelConfig
+    from f5tts_tpu.text.tokenizer import Tokenizer
+
+    dcfg = DistillConfig(student_steps=4)
+    voc = VocosConfig(input_channels=CFG.mel_dim, dim=24, intermediate_dim=48, num_layers=1)
+    eng = TTSEngine(
+        teacher, CFG, init_vocos(jax.random.PRNGKey(1), voc),
+        Tokenizer.from_texts(["student serving test"]),
+        EngineConfig(mel=MelConfig(n_mels=CFG.mel_dim), vocoder=voc,
+                     sampler=student_sampler(dcfg),
+                     duration_buckets=(N,), batch_buckets=(1, 2), text_pad=16,
+                     compute_dtype="float32"),
+    )
+    rng = np.random.default_rng(0)
+    rows = [RowSpec(text="student serving test", cond_mel=rng.standard_normal((REF, CFG.mel_dim)).astype(np.float32),
+                    ref_frames=REF, duration=N - 4, steps=dcfg.student_steps,
+                    cfg_strength=0.0, seed=5)]
+    (wave, mel), = eng.synthesize_rows(rows)
+    assert np.isfinite(wave).all() and np.isfinite(mel).all()
+    assert mel.shape[0] == N - 4 - REF
