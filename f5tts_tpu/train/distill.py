@@ -112,6 +112,9 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
     knots = jnp.asarray(cfg.time_grid, jnp.float32)
 
     def step(student_params, opt_state, teacher_params, batch):
+        # knots in compute dtype: an f32 dt would upcast the bf16 rollout
+        # carry and break the scan's carry-type invariance
+        knots_c = knots.astype(compute_dtype)
         cond, cond_lens, text = batch["cond"], batch["cond_lens"], batch["text"]
         duration, seeds = batch["duration"], batch["seeds"]
         b, n, mel_dim = cond.shape
@@ -167,7 +170,7 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
             v = student_vel(sg(student_params), jnp.broadcast_to(t0, (b,)), y, 1)
             return y + (t1 - t0) * v, y
 
-        _, states = lax.scan(roll, y0, (knots[:-1], knots[1:]))  # (K, b, n, mel)
+        _, states = lax.scan(roll, y0, (knots_c[:-1], knots_c[1:]))  # (K, b, n, mel)
         states = sg(states)
 
         # 2) teacher fine solve of each interval from the rollout state —
@@ -175,7 +178,7 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
         # is far closer to the true guided solution than euler substeps, and
         # the certification bar is error-to-TRUTH, not error-to-recipe
         def interval_target(y_k, t0, t1):
-            sub = t0 + (t1 - t0) * jnp.linspace(0.0, 1.0, m + 1, dtype=jnp.float32)
+            sub = t0 + (t1 - t0) * jnp.linspace(0.0, 1.0, m + 1, dtype=compute_dtype)
 
             def fine(y, ts):
                 a, c = ts
@@ -189,12 +192,12 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
 
         _, targets = lax.scan(
             lambda _, xs: (None, interval_target(*xs)),
-            None, (states, knots[:-1], knots[1:]))
+            None, (states, knots_c[:-1], knots_c[1:]))
         targets = sg(targets)  # (K, b, n, mel)
 
         # 3) one batched student forward over all K knots (K*b rows)
         def loss_fn(params):
-            t_vec = jnp.repeat(knots[:-1], b)              # (K*b,)
+            t_vec = jnp.repeat(knots_c[:-1], b)              # (K*b,)
             y_flat = states.reshape(K * b, n, mel_dim)
             pred = student_vel(params, t_vec, y_flat, K)
             err = (pred.astype(jnp.float32)
