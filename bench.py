@@ -26,6 +26,17 @@ def main():
     enable_compilation_cache()
     import jax.numpy as jnp
 
+    # Measurement integrity (round-4 postmortem: the official r4 capture posted
+    # a 2.24 CPU-grade number with no indication the chip wasn't executing).
+    # Refuse to post a headline from a non-TPU backend unless explicitly
+    # overridden for local debugging.
+    backend = jax.default_backend()
+    if backend != "tpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        print(json.dumps({"metric": "audio_s_per_s_per_chip", "value": 0.0,
+                          "unit": "audio-seconds/second", "vs_baseline": 0.0,
+                          "error": f"backend={backend}, not tpu; set BENCH_ALLOW_CPU=1 to override"}))
+        sys.exit(1)
+
     from f5tts_tpu.engine.engine import EngineConfig, TTSEngine
     from f5tts_tpu.models.dit import DiTConfig, init_dit
     from f5tts_tpu.models.vocos import VocosConfig, init_vocos
@@ -103,25 +114,48 @@ def main():
         # reliable barrier through the remote-execution tunnel
         return float(jnp.sum(wave[:, :64]))
 
+    t_compile0 = time.perf_counter()
     run_once()  # warmup/compile
+    compile_s = time.perf_counter() - t_compile0
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        checksum = run_once()
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(checksum)
+    def timed_iters():
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            checksum = run_once()
+            times.append(time.perf_counter() - t0)
+            assert np.isfinite(checksum)
+        return times
+
+    iter_times = timed_iters()
+    # sanity: if per-iteration dispersion exceeds 2x, the tunnel / device was
+    # unstable during capture — retry once and keep the better (tighter) set
+    if max(iter_times) > 2.0 * min(iter_times):
+        print(f"warning: iteration dispersion {min(iter_times):.3f}-{max(iter_times):.3f}s; retrying",
+              file=sys.stderr)
+        retry = timed_iters()
+        if (max(retry) / max(min(retry), 1e-9)) < (max(iter_times) / max(min(iter_times), 1e-9)):
+            iter_times = retry
+    dt = sum(iter_times) / len(iter_times)
 
     frames_per_second_of_audio = 24000 / 256  # 93.75
     audio_seconds = batch * (n_frames - ref_frames) / frames_per_second_of_audio
     rtf = audio_seconds / dt
-    result_line = json.dumps(
-        {
-            "metric": "audio_s_per_s_per_chip",
-            "value": round(rtf, 2),
-            "unit": "audio-seconds/second",
-            "vs_baseline": round(rtf / 50.0, 3),
-        }
-    )
+    result = {
+        "metric": "audio_s_per_s_per_chip",
+        "value": round(rtf, 2),
+        "unit": "audio-seconds/second",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "backend": backend,
+        "compile_s": round(compile_s, 2),
+        "iter_s": [round(t, 4) for t in iter_times],
+    }
+    if cfg_strength != 2.0:
+        # a BENCH_CFG=0 run measures the single-branch (distilled-student)
+        # program — tag it so it can't be mistaken for the CFG=2 headline
+        result["cfg_strength"] = cfg_strength
+        result["mode"] = "single_branch" if cfg_strength == 0 else "nonstandard_cfg"
+    result_line = json.dumps(result)
 
     if os.environ.get("BENCH_PARITY") == "1":
         # numerical guard (opt-in: costs two extra small compiles): the benched
