@@ -267,7 +267,11 @@ class ParlerTTSEngine:
 
         # description-encoder cache: when every row's style is cached, run
         # the enc-input program and skip the T5 (~300 ms/batch on chip)
-        keys = [tuple(np.asarray(d, np.int32).tolist()) for d in descriptions]
+        # key on the TRUNCATED ids — _pad_ids clips to desc_pad, so anything
+        # past it never reaches the T5; keying on the full tuple would give
+        # truncation-identical styles distinct entries holding identical rows
+        keys = [tuple(np.asarray(d, np.int32)[: self.cfg.desc_pad].tolist())
+                for d in descriptions]
         if all(k in self._desc_cache for k in keys):
             self.desc_cache_hits += len(keys)
             # device-side stack of device-resident rows: no host round trip

@@ -35,7 +35,7 @@ from f5tts_tpu.models.dit import DiTConfig, dit_embed, dit_forward
 from f5tts_tpu.models.vocos import VocosConfig, vocos_decode
 from f5tts_tpu.ops.mel import MelConfig, bucketed_log_mel
 from f5tts_tpu.sampling.euler import SamplerConfig, nfe_to_steps, sample_cfm, serving_default_sampler
-from f5tts_tpu.text.chunker import chunk_text, duration_frames, max_chars_for_ref
+from f5tts_tpu.text.chunker import chunk_text, chunk_text_packed, duration_frames, max_chars_for_ref
 from f5tts_tpu.text.tokenizer import Tokenizer
 from f5tts_tpu.utils.profiling import GLOBAL_TIMER
 
@@ -95,6 +95,16 @@ class EngineConfig:
     # relaxes to the smallest duration bucket leaving at least this much
     # generation room (see _max_chunk_chars).
     min_chunk_gen_frames: int = 256
+    # Long-form packing mode: when chunk_frames_budget is set, fill each
+    # chunk's byte budget to within ~8% with word-boundary top-off
+    # (chunk_text_packed) instead of stopping at the last whole clause.
+    # Clause quantization leaves ~8% of the bucket unfilled (944/1024
+    # measured), which IS the structural long-form throughput gap — a full
+    # chunk is exactly the headline geometry. Trade-off: some crossfades land
+    # on word boundaries instead of clause pauses (the reference already
+    # splits mid-sentence at commas; this is one step further). False, or
+    # chunk_frames_budget=None, restores the exact reference contract.
+    chunk_pack_words: bool = True
     # Max solve groups in flight during synthesize_rows' dispatch/fetch
     # overlap: bounds peak HBM to O(1) extra group buffers instead of
     # O(groups) (a long-form job submits every chunk in one call).
@@ -255,6 +265,14 @@ class TTSEngine:
                 budget_frames = max(budget - ref_frames, 1)
                 max_chars = min(max_chars, int(budget_frames * ref_bytes / max(ref_frames, 1) * speed))
         return max(max_chars, 1)
+
+    def _chunk(self, gen_text: str, max_chars: int) -> list[str]:
+        """Chunker dispatch: word-topoff packing in budget mode (fills the
+        duration bucket — see EngineConfig.chunk_pack_words), exact reference
+        clause chunking (utils_infer.py:61-88) otherwise."""
+        if self.cfg.chunk_frames_budget is not None and self.cfg.chunk_pack_words:
+            return chunk_text_packed(gen_text, max_chars=max_chars)
+        return chunk_text(gen_text, max_chars=max_chars)
 
     def _wave_samples(self, n_frames: int) -> int:
         """Samples produced for n mel frames: vocos iSTFT yields (n-1)*hop
@@ -531,7 +549,7 @@ class TTSEngine:
         cond_mel = _ref_mel(ref_audio, cfg.mel)
 
         # --- chunking (utils_infer.py:376-378)
-        chunks = chunk_text(gen_text, max_chars=self._max_chunk_chars(ref_text, ref_secs, ref_frames, speed))
+        chunks = self._chunk(gen_text, self._max_chunk_chars(ref_text, ref_secs, ref_frames, speed))
         if not chunks:
             chunks = [gen_text]
 
@@ -606,7 +624,7 @@ class TTSEngine:
 
         # identical chunking to prepare_request (incl. the chunk_frames_budget
         # cap) so concatenating the stream equals the non-streaming output
-        chunks = chunk_text(gen_text, max_chars=self._max_chunk_chars(ref_text, ref_secs, ref_frames, speed)) or [gen_text]
+        chunks = self._chunk(gen_text, self._max_chunk_chars(ref_text, ref_secs, ref_frames, speed)) or [gen_text]
 
         from f5tts_tpu.audio import native
 

@@ -147,13 +147,18 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
             pred, null = out[:b], out[b:]
             return pred + (pred - null) * s
 
-        # student velocity (single branch, guidance baked in); embedding is
-        # computed per-call from the STUDENT params (they train)
-        def student_vel(params, t_vec, y, rep: int):
-            emb = dit_embed(params, model_cfg,
-                            jnp.tile(text, (rep, 1)), n,
-                            jnp.zeros((rep * b,), bool),
-                            jnp.tile(attn_mask, (rep, 1)))
+        # student text embedding: depends only on (params, text) — compute it
+        # ONCE per training step at batch b and tile across the rollout scan
+        # and the K-fold loss forward (the module's own sampler lifts this out
+        # of the ODE loop for exactly this reason). Gradients flow through the
+        # loss_fn copy; the rollout uses the stop-grad params' embedding.
+        def student_emb(params):
+            return dit_embed(params, model_cfg, text, n,
+                             jnp.zeros((b,), bool), attn_mask)
+
+        # student velocity (single branch, guidance baked in)
+        def student_vel(params, emb_b, t_vec, y, rep: int):
+            emb = jnp.tile(emb_b, (rep, 1, 1)) if rep > 1 else emb_b
             return dit_forward(
                 params, model_cfg, y, jnp.tile(step_cond, (rep, 1, 1)), None,
                 t_vec.astype(compute_dtype),
@@ -165,9 +170,12 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
         # 1) student rollout (stop-grad): states y_k at every knot
         sg = jax.lax.stop_gradient
 
+        emb_sg = student_emb(sg(student_params))
+
         def roll(y, ts):
             t0, t1 = ts
-            v = student_vel(sg(student_params), jnp.broadcast_to(t0, (b,)), y, 1)
+            v = student_vel(sg(student_params), emb_sg,
+                            jnp.broadcast_to(t0, (b,)), y, 1)
             return y + (t1 - t0) * v, y
 
         _, states = lax.scan(roll, y0, (knots_c[:-1], knots_c[1:]))  # (K, b, n, mel)
@@ -199,7 +207,7 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
         def loss_fn(params):
             t_vec = jnp.repeat(knots_c[:-1], b)              # (K*b,)
             y_flat = states.reshape(K * b, n, mel_dim)
-            pred = student_vel(params, t_vec, y_flat, K)
+            pred = student_vel(params, student_emb(params), t_vec, y_flat, K)
             err = (pred.astype(jnp.float32)
                    - targets.reshape(K * b, n, mel_dim).astype(jnp.float32))
             w = jnp.tile(gen_mask.astype(jnp.float32), (K, 1, 1))

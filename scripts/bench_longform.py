@@ -116,6 +116,10 @@ def main(argv=None):
         bb = min(dict(engine.cfg.solve_batch_caps).get(args.bucket,
                                                        engine.cfg.batch_buckets[-1]),
                  engine.cfg.batch_buckets[-1])
+        if len(rows) < bb:
+            # fewer chunks than the solve cap: run one padded group instead of
+            # truncating to zero rows (which would divide by zero below)
+            bb = len(rows)
         rows = rows[: (len(rows) // bb) * bb]
         gen_frames = sum(min(r.duration, args.bucket) - r.ref_frames for r in rows)
         audio_seconds = gen_frames / (sr / engine.cfg.mel.hop_length)

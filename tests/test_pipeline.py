@@ -30,6 +30,52 @@ def test_chunk_text_packing():
     assert chunk_text("Hi there.", max_chars=100) == ["Hi there."]
 
 
+def test_chunk_text_packed_fills_budget():
+    """Word-topoff packing (long-form throughput mode): every chunk but the
+    last fills >= 85% of the byte budget (clause packing leaves ~8-38%
+    unfilled on clause-quantized prose), and chunks reconstruct the input
+    exactly modulo whitespace normalization."""
+    from f5tts_tpu.text.chunker import chunk_text_packed
+
+    text = ("The quick brown fox jumps over the lazy dog, while the sun sets "
+            "behind the hills. A gentle breeze carried the scent of rain, and "
+            "the fields shimmered in gold. Far away, a train whistled through "
+            "the valley; its echo lingered for a while. Children ran along the "
+            "river bank, laughing at the ducks that scattered before them. "
+            "Night fell slowly over the quiet town. ") * 3
+    chunks = chunk_text_packed(text, max_chars=135)
+    fills = [len(c.encode("utf-8")) / 135 for c in chunks]
+    assert all(f >= 0.85 for f in fills[:-1]), fills
+    assert all(len(c.encode("utf-8")) <= 135 for c in chunks)
+    norm = lambda s: " ".join(s.split())
+    assert norm(" ".join(chunks)) == norm(text)
+    # beats clause packing on chunk count for the same text
+    assert len(chunks) <= len(chunk_text(text, max_chars=135))
+
+
+def test_chunk_text_packed_cjk():
+    """Unspaced CJK packs at char granularity and reconstructs exactly."""
+    from f5tts_tpu.text.chunker import chunk_text_packed
+
+    text = "这是一个很长的句子，它会继续下去。" * 8
+    chunks = chunk_text_packed(text, max_chars=60)
+    assert "".join(chunks) == text
+    fills = [len(c.encode("utf-8")) / 60 for c in chunks]
+    assert all(f >= 0.85 for f in fills[:-1]), fills
+
+
+def test_chunk_text_packed_keeps_near_full_clause_boundaries():
+    """A clause boundary landing within the top-off deficit closes the chunk
+    there (crossfade on a natural pause) instead of splitting the next clause
+    for a few bytes."""
+    from f5tts_tpu.text.chunker import chunk_text_packed
+
+    # each sentence is 60 bytes; budget 64 -> clause end lands at 94% > 92%
+    s = "abcd efgh ijkl mnop qrst uvwx yzab cdef ghij klmn opqr stuv."
+    chunks = chunk_text_packed(s + " " + s, max_chars=64, topoff_deficit=0.08)
+    assert chunks == [s, s]
+
+
 def test_duration_heuristic():
     # frames = ref_frames + ref_frames/ref_bytes * gen_bytes / speed (utils_infer.py:446-453)
     d = duration_frames(100, "abcd", "abcdabcd", speed=1.0)
