@@ -68,6 +68,16 @@ class DistillConfig:
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     seed: int = 0
+    # Progressive distillation (64->32->16->8 ladder, VERDICT r4 item #2):
+    # when the teacher is itself a distilled student (guidance already baked
+    # in), its velocity is ONE forward with no drop flags — set this and the
+    # interval targets come from single-branch teacher substeps.
+    teacher_single_branch: bool = False
+    # Per-knot loss weighting: "none" = uniform MSE over all K knots;
+    # "adaptive" = normalize each knot's contribution by its own (stop-grad)
+    # error scale — sharp fields concentrate difficulty at few knots, and
+    # uniform weighting lets the easy knots dominate the gradient.
+    knot_weighting: str = "none"
 
     @property
     def time_grid(self) -> tuple[float, ...]:
@@ -86,6 +96,30 @@ def student_sampler(cfg: DistillConfig) -> SamplerConfig:
         steps=cfg.student_steps, cfg_strength=0.0,
         sway_sampling_coef=None, method="euler", time_grid=cfg.time_grid,
     )
+
+
+def deepen_student(teacher_params, model_cfg: DiTConfig, factor: int = 2):
+    """Capacity-sweep student init (VERDICT r4 item #2): interleave ``factor-1``
+    IDENTITY copies after each teacher block. The copies start exactly as
+    identity — their adaLN-zero modulation projection is zeroed, so every
+    gate is 0 and the block passes x through — which preserves the teacher's
+    function at init while giving the student ``factor``x depth to absorb the
+    fused cond+null map. Returns ``(params, deeper_cfg)``."""
+    from dataclasses import replace
+
+    depth = model_cfg.depth
+    params = {k: v for k, v in teacher_params.items()}
+    blocks = jax.tree.map(lambda x: jnp.repeat(x, factor, axis=0), params["blocks"])
+    # positions i with i % factor != 0 are the inserted copies
+    new_copy = (np.arange(depth * factor) % factor) != 0
+
+    def zero_new(x):
+        m_ = jnp.asarray(~new_copy, x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+        return x * m_
+
+    blocks["attn_norm"]["linear"] = jax.tree.map(zero_new, blocks["attn_norm"]["linear"])
+    params["blocks"] = blocks
+    return params, replace(model_cfg, depth=depth * factor)
 
 
 def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
@@ -129,23 +163,35 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
 
         f = jnp.zeros((b,), bool)
 
-        # teacher guided velocity: one fused 2b forward (cond; null)
-        text2 = jnp.concatenate([text, text], axis=0)
-        drop_text2 = jnp.concatenate([f, ~f], axis=0)
-        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
-        t_emb2 = dit_embed(teacher_params, model_cfg, text2, n, drop_text2, mask2)
-        cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
-        drop_audio2 = drop_text2
+        if cfg.teacher_single_branch:
+            # the teacher is a distilled student: guidance is in its weights,
+            # one conditioned forward per eval (progressive-stage teacher)
+            t_emb1 = dit_embed(teacher_params, model_cfg, text, n, f, attn_mask)
 
-        def teacher_vel(t_scalar, y):
-            y2 = jnp.concatenate([y, y], axis=0)
-            out = dit_forward(
-                teacher_params, model_cfg, y2, cond2, None,
-                jnp.broadcast_to(t_scalar, (2 * b,)).astype(compute_dtype),
-                drop_audio2, drop_text2, mask2, text_emb=t_emb2,
-                compute_dtype=compute_dtype)
-            pred, null = out[:b], out[b:]
-            return pred + (pred - null) * s
+            def teacher_vel(t_scalar, y):
+                return dit_forward(
+                    teacher_params, model_cfg, y, step_cond, None,
+                    jnp.broadcast_to(t_scalar, (b,)).astype(compute_dtype),
+                    f, f, attn_mask, text_emb=t_emb1,
+                    compute_dtype=compute_dtype)
+        else:
+            # teacher guided velocity: one fused 2b forward (cond; null)
+            text2 = jnp.concatenate([text, text], axis=0)
+            drop_text2 = jnp.concatenate([f, ~f], axis=0)
+            mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
+            t_emb2 = dit_embed(teacher_params, model_cfg, text2, n, drop_text2, mask2)
+            cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
+            drop_audio2 = drop_text2
+
+            def teacher_vel(t_scalar, y):
+                y2 = jnp.concatenate([y, y], axis=0)
+                out = dit_forward(
+                    teacher_params, model_cfg, y2, cond2, None,
+                    jnp.broadcast_to(t_scalar, (2 * b,)).astype(compute_dtype),
+                    drop_audio2, drop_text2, mask2, text_emb=t_emb2,
+                    compute_dtype=compute_dtype)
+                pred, null = out[:b], out[b:]
+                return pred + (pred - null) * s
 
         # student text embedding: depends only on (params, text) — compute it
         # ONCE per training step at batch b and tile across the rollout scan
@@ -211,7 +257,18 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
             err = (pred.astype(jnp.float32)
                    - targets.reshape(K * b, n, mel_dim).astype(jnp.float32))
             w = jnp.tile(gen_mask.astype(jnp.float32), (K, 1, 1))
-            return jnp.sum(jnp.square(err) * w) / jnp.maximum(jnp.sum(w) * mel_dim, 1.0)
+            sq = jnp.square(err) * w
+            if cfg.knot_weighting == "adaptive":
+                # equalize per-knot gradient scale: each knot's MSE is
+                # normalized by its own (stop-grad) magnitude, so the few
+                # hard knots of a sharp field aren't drowned by the easy ones
+                per_knot = (jnp.sum(sq.reshape(K, b, n, mel_dim), axis=(1, 2, 3))
+                            / jnp.maximum(jnp.sum(w) / K * mel_dim, 1.0))  # (K,)
+                scale = sg(1.0 / jnp.maximum(per_knot, 1e-8))
+                scale = scale / jnp.mean(scale)
+                sq = sq.reshape(K, b, n, mel_dim) * scale[:, None, None, None]
+                sq = sq.reshape(K * b, n, mel_dim)
+            return jnp.sum(sq) / jnp.maximum(jnp.sum(w) * mel_dim, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(student_params)
         updates, opt_state = optimizer.update(grads, opt_state, student_params)

@@ -88,6 +88,17 @@ def main():
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--sway", type=float, default=-1.0,
                    help="student knot-grid sway coefficient (nan = uniform grid)")
+    p.add_argument("--progressive", default=None,
+                   help="comma ladder of K values, e.g. '32,16,8': stage 1 "
+                        "distills K0 from the CFG teacher; later stages halve "
+                        "with the previous (single-branch) student as teacher. "
+                        "--distill-steps applies per stage. Overrides "
+                        "--student-steps (final K = last ladder entry).")
+    p.add_argument("--knot-weighting", default="none", choices=["none", "adaptive"],
+                   help="per-knot loss normalization (sharp-field lever)")
+    p.add_argument("--deepen", type=int, default=1,
+                   help="student depth multiplier (capacity sweep): inserted "
+                        "blocks start as exact identity (zeroed adaLN gates)")
     p.add_argument("--solve-cache", default=None)
     p.add_argument("--out", default="DISTILL.json")
     args = p.parse_args()
@@ -131,17 +142,18 @@ def main():
 
     SEG = int(os.environ.get("QH_SEGMENT_STEPS", 64))
 
-    def solve(params, sampler):
+    def solve(params, sampler, model_cfg=None):
+        mcfg = model_cfg or cfg
         steps = sampler.steps
         if steps <= SEG:
-            out = sample_cfm(params, cfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
+            out = sample_cfm(params, mcfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
                              text=jnp.asarray(text), duration=jnp.asarray(durations),
                              sampler=sampler, y0=y0, compute_dtype=dtype)
         else:
             out = y0
             for a in range(0, steps, SEG):
                 b = min(a + SEG, steps)
-                out = sample_cfm(params, cfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
+                out = sample_cfm(params, mcfg, cond=jnp.asarray(cond), cond_lens=jnp.asarray(lens),
                                  text=jnp.asarray(text), duration=jnp.asarray(durations),
                                  sampler=sampler, y0=jnp.asarray(out), compute_dtype=dtype,
                                  knot_range=(a, b), paste_back=(b == steps))
@@ -170,30 +182,52 @@ def main():
     recipe_err = quality_report(recipe, truth, gen_mask)["mel_l2"]
     print(f"recipe err-to-truth: {recipe_err:.5f}", flush=True)
 
-    dcfg = DistillConfig(
-        student_steps=args.student_steps, substeps=args.substeps,
-        learning_rate=args.lr, lr_decay_steps=args.distill_steps,
-        sway_sampling_coef=None if np.isnan(args.sway) else args.sway,
-    )
     prompt_fn = make_prompt_fn(cfg, args.distill_batch, bucket, cond_frames)
-    print(f"distilling K={args.student_steps} m={args.substeps} "
-          f"for {args.distill_steps} steps...", flush=True)
-    t0 = time.time()
     ddtype = dtype if args.distill_dtype is None else (
         jnp.bfloat16 if args.distill_dtype == "bf16" else jnp.float32)
-    student = distill(teacher, cfg, dcfg, prompt_fn, args.distill_steps,
-                      compute_dtype=ddtype)
+
+    student_cfg = cfg
+    student_init = teacher
+    if args.deepen > 1:
+        from f5tts_tpu.train.distill import deepen_student
+
+        student_init, student_cfg = deepen_student(teacher, cfg, args.deepen)
+        print(f"capacity sweep: student depth {cfg.depth} -> {student_cfg.depth} "
+              f"(identity-init copies)", flush=True)
+
+    ladder = ([int(k) for k in args.progressive.split(",")] if args.progressive
+              else [args.student_steps])
+    args.student_steps = ladder[-1]
+    t0 = time.time()
+    cur_teacher, cur_teacher_single = student_init, False
+    for stage, K in enumerate(ladder):
+        dcfg = DistillConfig(
+            student_steps=K, substeps=args.substeps,
+            learning_rate=args.lr, lr_decay_steps=args.distill_steps,
+            sway_sampling_coef=None if np.isnan(args.sway) else args.sway,
+            teacher_single_branch=cur_teacher_single,
+            knot_weighting=args.knot_weighting,
+        )
+        print(f"distilling stage {stage + 1}/{len(ladder)}: K={K} m={args.substeps} "
+              f"teacher={'student' if cur_teacher_single else 'cfg-pair'} "
+              f"for {args.distill_steps} steps...", flush=True)
+        student = distill(cur_teacher, student_cfg, dcfg, prompt_fn,
+                          args.distill_steps, compute_dtype=ddtype)
+        cur_teacher, cur_teacher_single = student, True
     print(f"  distill {time.time() - t0:.0f}s", flush=True)
 
+    # a deepened student's forward costs deepen-x FLOPs: account in "forwards"
+    fwd_scale = args.deepen
     rows = []
-    for name, params, sampler, fwd in (
-        ("recipe euler-32", teacher, CONFIGS["base"], 64),
-        (f"student K={args.student_steps}", student, student_sampler(dcfg), args.student_steps),
+    for name, params, sampler, fwd, mcfg in (
+        ("recipe euler-32", teacher, CONFIGS["base"], 64, cfg),
+        (f"student K={args.student_steps}", student, student_sampler(dcfg),
+         args.student_steps * fwd_scale, student_cfg),
         ("teacher euler@K (ablation)", teacher,
          CONFIGS["base"].__class__(steps=args.student_steps, cfg_strength=2.0,
-                                   sway_sampling_coef=-1.0), 2 * args.student_steps),
+                                   sway_sampling_coef=-1.0), 2 * args.student_steps, cfg),
     ):
-        out = solve(params, sampler) if name != "recipe euler-32" else recipe
+        out = solve(params, sampler, mcfg) if name != "recipe euler-32" else recipe
         rep = quality_report(out, truth, gen_mask)
         ratio = rep["mel_l2"] / max(recipe_err, 1e-12)
         rows.append({"name": name, "forwards": fwd, "mel_l2": rep["mel_l2"],
@@ -207,6 +241,8 @@ def main():
         "student_steps": args.student_steps, "substeps": args.substeps,
         "distill_steps": args.distill_steps, "distill_batch": args.distill_batch,
         "dtype": args.dtype, "bucket": bucket, "recipe_err": recipe_err,
+        "progressive": args.progressive, "knot_weighting": args.knot_weighting,
+        "deepen": args.deepen, "sway": args.sway,
         "rows": rows,
     }
     with open(args.out, "w") as f:
