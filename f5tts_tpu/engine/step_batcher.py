@@ -56,11 +56,14 @@ class SegmentPrograms:
 
     def __init__(self, engine: TTSEngine, segment_intervals: int):
         s = engine.cfg.sampler
-        if s.cfg_cache_period > 1 or tuple(s.cfg_interval) != (0.0, 1.0) or s.cfg_null_reuse:
+        if s.cfg_cache_period > 1 or s.cfg_null_reuse:
+            # cfg_interval IS supported (per-row gate in solve_segment); the
+            # null-HOLDING knobs are not — a cached null velocity cannot ride
+            # a batch whose rows sit at different trajectory points
             raise ValueError(
-                "step-level batching supports the plain full-interval guidance "
-                "path only; keep the window batcher for cfg_interval/cfg_cache/"
-                "null-reuse samplers")
+                "step-level batching supports full-interval and cfg_interval "
+                "guidance; keep the window batcher for cfg_cache_period/"
+                "cfg_null_reuse samplers")
         self.engine = engine
         self.k = segment_intervals
         self.method = s.method
@@ -94,11 +97,14 @@ class SegmentPrograms:
         if key not in self._cache:
             e = self.engine
 
+            interval = tuple(e.cfg.sampler.cfg_interval)
+
             def fn(dit_params, cond, cond_lens, text, duration, cfg_s, y, t0s, t1s, em):
                 return solve_segment(
                     dit_params, e.dit_cfg, cond=cond, cond_lens=cond_lens,
                     text=text, duration=duration, y=y, t0s=t0s, t1s=t1s,
-                    cfg_strength=cfg_s, method=self.method, edit_mask=em,
+                    cfg_strength=cfg_s, cfg_interval=interval,
+                    method=self.method, edit_mask=em,
                     compute_dtype=e.compute_dtype,
                     forward_fn=e.forward_fn, embed_fn=e.embed_fn,
                 )
@@ -261,11 +267,21 @@ class StepBatcher:
     at most ~1/5 of a solve per running group before it is integrating."""
 
     def __init__(self, engine: TTSEngine, segment_intervals: int = 2,
-                 max_queue: int = 256, max_groups: int = 8):
+                 max_queue: int = 256, max_groups: int = 8,
+                 adaptive: bool = False):
         self.engine = engine
         self.progs = SegmentPrograms(engine, segment_intervals)
         self.max_queue = max_queue
         self.max_groups = max_groups
+        # load-adaptive policy (VERDICT r4 #5, LOAD_BASE.json data: step wins
+        # every tail metric at saturation, window wins p50 at LOW load because
+        # per-segment host ticks each pay the dispatch RTT). adaptive=True
+        # recovers the window's low-load dispatch profile: when exactly one
+        # group is active and the queue is empty, chain its remaining
+        # segments back-to-back (async dispatch, one block at the end) —
+        # checking the queue between dispatches, so the moment a request
+        # arrives the chain stops and per-segment admission resumes.
+        self.adaptive = adaptive
         self._jobs: list[_Job] = []
         self._groups: list[SolveGroup] = []
         self._lock = threading.Lock()
@@ -427,7 +443,18 @@ class StepBatcher:
                     continue
                 # dispatch one segment per group (device queue interleaves),
                 # then block once so the host tick tracks device progress
-                ys = [g.dispatch_segment() for g in self._groups if g.active()]
+                active = [g for g in self._groups if g.active()]
+                ys = [g.dispatch_segment() for g in active]
+                if self.adaptive and len(active) == 1:
+                    # low-load fast path: sole group + empty queue -> chain
+                    # the rest of the solve without host round trips
+                    g = active[0]
+                    while g.active() and not self._stop:
+                        with self._lock:
+                            if self._jobs:
+                                break
+                        ys.append(g.dispatch_segment())
+                        self.stats["chained_segments"] = self.stats.get("chained_segments", 0) + 1
                 if ys:
                     jax.block_until_ready(ys[-1])
                     self.stats["segments"] += len(ys)

@@ -21,9 +21,15 @@ fused 2b CFG pair, step-invariant text embedding, masked conditioning) with
 time broadcast per row instead of per batch; a row solved segment-by-segment
 matches its monolithic solve to co-batching tolerance (test-pinned).
 
-Only the plain full-interval guidance path is supported here (the serving
-default); ``cfg_interval``/``cfg_cache_period`` partition knots host-side in
-``sample_cfm`` and stay on the window path.
+Guidance-interval engines (``cfg_interval``) are supported: the monolithic
+path partitions knots host-side into guided/unguided runs (gated on each
+step's START knot, ``lo <= t0 < hi``), which here becomes per-row DATA — the
+step scales its row's strength by the gate, and ``pred + (pred-null)*0`` is
+exactly the cond branch, so the math matches ``sample_cfm`` bit-for-bit in
+f32 (the unguided evals do pay the fused 2b forward; compute-SKIPPING knobs
+are where the restriction remains: ``cfg_cache_period``/``cfg_null_reuse``
+hold a null velocity across steps, which cannot ride a mixed-progress batch,
+so those engines stay on the window path).
 """
 
 from __future__ import annotations
@@ -81,6 +87,7 @@ def solve_segment(
     t0s: jnp.ndarray,  # (k, b) interval starts, per row
     t1s: jnp.ndarray,  # (k, b) interval ends, per row
     cfg_strength: jnp.ndarray,  # (b,) per-row guidance strength
+    cfg_interval: tuple[float, float] = (0.0, 1.0),  # static (lo, hi) gate
     method: str = "ralston",
     edit_mask: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
@@ -103,7 +110,23 @@ def solve_segment(
     cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
     s = cfg_strength[:, None, None].astype(compute_dtype)
 
-    def velocity(t_rows, x):  # t_rows (b,) f32
+    lo, hi = cfg_interval
+    if (lo, hi) == (0.0, 1.0):
+
+        def gated_s(t0):  # full-interval: every step guided (no gate math)
+            return s
+
+    else:
+        # the monolithic path guides a step iff its START knot satisfies
+        # lo <= t0 < hi (euler.py sample_cfm's host-side partition); here t0
+        # is per-row data, so the gate is computed per (step, row) and scales
+        # the strength — an ungated row's combine degenerates to the cond
+        # branch exactly
+        def gated_s(t0):
+            g = ((t0 >= lo) & (t0 < hi)).astype(compute_dtype)[:, None, None]
+            return s * g
+
+    def velocity(t_rows, x, sg):  # t_rows (b,) f32; sg (b,1,1) step strength
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t_rows, t_rows], axis=0).astype(compute_dtype)
         out = forward_fn(
@@ -111,7 +134,7 @@ def solve_segment(
             text_emb=text_emb2, compute_dtype=compute_dtype,
         )
         pred, null = out[:b], out[b:]
-        return pred + (pred - null) * s
+        return pred + (pred - null) * sg
 
     def dt_of(t0, t1):
         return (t1 - t0).astype(compute_dtype)[:, None, None]
@@ -120,7 +143,7 @@ def solve_segment(
 
         def step(y, ts):
             t0, t1 = ts
-            y = y + dt_of(t0, t1) * velocity(t0, y)
+            y = y + dt_of(t0, t1) * velocity(t0, y, gated_s(t0))
             return y, None
 
     elif method == "midpoint":
@@ -128,9 +151,10 @@ def solve_segment(
         def step(y, ts):
             t0, t1 = ts
             dt = dt_of(t0, t1)
-            k1 = velocity(t0, y)
+            sg = gated_s(t0)
+            k1 = velocity(t0, y, sg)
             y_mid = y + 0.5 * dt * k1
-            y = y + dt * velocity(t0 + 0.5 * (t1 - t0), y_mid)
+            y = y + dt * velocity(t0 + 0.5 * (t1 - t0), y_mid, sg)
             return y, None
 
     elif method == "heun":
@@ -138,8 +162,9 @@ def solve_segment(
         def step(y, ts):
             t0, t1 = ts
             dt = dt_of(t0, t1)
-            k1 = velocity(t0, y)
-            k2 = velocity(t1, y + dt * k1)
+            sg = gated_s(t0)
+            k1 = velocity(t0, y, sg)
+            k2 = velocity(t1, y + dt * k1, sg)
             y = y + dt * 0.5 * (k1 + k2)
             return y, None
 
@@ -148,8 +173,9 @@ def solve_segment(
         def step(y, ts):
             t0, t1 = ts
             dt = dt_of(t0, t1)
-            k1 = velocity(t0, y)
-            k2 = velocity(t0 + (2.0 / 3.0) * (t1 - t0), y + (2.0 / 3.0) * dt * k1)
+            sg = gated_s(t0)
+            k1 = velocity(t0, y, sg)
+            k2 = velocity(t0 + (2.0 / 3.0) * (t1 - t0), y + (2.0 / 3.0) * dt * k1, sg)
             y = y + dt * (0.25 * k1 + 0.75 * k2)
             return y, None
 
@@ -158,10 +184,11 @@ def solve_segment(
         def step(y, ts):
             t0, t1 = ts
             dt = dt_of(t0, t1)
-            k1 = velocity(t0, y)
-            k2 = velocity(t0 + 0.5 * (t1 - t0), y + 0.5 * dt * k1)
-            k3 = velocity(t0 + 0.5 * (t1 - t0), y + 0.5 * dt * k2)
-            k4 = velocity(t1, y + dt * k3)
+            sg = gated_s(t0)
+            k1 = velocity(t0, y, sg)
+            k2 = velocity(t0 + 0.5 * (t1 - t0), y + 0.5 * dt * k1, sg)
+            k3 = velocity(t0 + 0.5 * (t1 - t0), y + 0.5 * dt * k2, sg)
+            k4 = velocity(t1, y + dt * k3, sg)
             y = y + dt / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
             return y, None
 

@@ -209,10 +209,17 @@ class ModelService:
                      durations, batches)
             engine.warmup(buckets=[(d, b) for d in durations for b in batches])
         self.engine = engine
-        if s.batcher == "step":
+        want_step = s.batcher in ("step", "auto")
+        if want_step and s.batcher == "auto" and engine.cfg.sampler.cfg_cache_period > 1:
+            # auto degrades gracefully: the null-holding knob needs the
+            # window path (batcher=step with cfg_cache errors at Settings)
+            log.info("batcher=auto: cfg_cache sampler -> window batcher")
+            want_step = False
+        if want_step:
             from f5tts_tpu.engine.step_batcher import StepBatcher
 
-            self.batcher = StepBatcher(engine, s.batcher_segment_intervals).start()
+            self.batcher = StepBatcher(engine, s.batcher_segment_intervals,
+                                       adaptive=s.batcher == "auto").start()
         else:
             self.batcher = ContinuousBatcher(engine, s.max_batch, s.batch_wait_ms).start()
         self.voices = voices

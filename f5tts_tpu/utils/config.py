@@ -79,10 +79,13 @@ class Settings:
     chunk_budget: int = 0
     # cross-request batching strategy: "window" = micro-batching of co-arriving
     # jobs (engine/batcher.py); "step" = step-level continuous batching with
-    # mid-solve join/leave at ODE-segment boundaries (engine/step_batcher.py;
-    # plain-guidance samplers only — cfg_interval/cfg_cache fall back to window
-    # with a startup error if combined).
-    batcher: str = "window"
+    # mid-solve join/leave at ODE-segment boundaries (engine/step_batcher.py);
+    # "auto" (default) = step batching with a load-adaptive dispatch policy —
+    # at low load the sole group's segments chain without host ticks (window-
+    # grade dispatch cost), under load per-segment admission resumes. auto
+    # falls back to window when cfg_cache > 1 (the null-holding knob cannot
+    # ride mixed-progress batches); batcher=step with cfg_cache errors.
+    batcher: str = "auto"
     # ODE intervals per step-batcher segment (join-latency granularity)
     batcher_segment_intervals: int = 2
 
@@ -113,12 +116,13 @@ class Settings:
             raise ValueError(f"vocoder_type must be vocos|bigvgan, got {self.vocoder_type!r}")
         if self.tts_model not in ("f5", "parler"):
             raise ValueError(f"tts_model must be f5|parler, got {self.tts_model!r}")
-        if self.batcher not in ("window", "step"):
-            raise ValueError(f"batcher must be window|step, got {self.batcher!r}")
-        if self.batcher == "step" and (self.cfg_interval or self.cfg_cache > 1):
+        if self.batcher not in ("window", "step", "auto"):
+            raise ValueError(f"batcher must be window|step|auto, got {self.batcher!r}")
+        if self.batcher == "step" and self.cfg_cache > 1:
             raise ValueError(
-                "batcher=step supports the plain full-interval guidance path "
-                "only; drop cfg_interval/cfg_cache or use batcher=window")
+                "batcher=step cannot serve cfg_cache samplers (held null "
+                "velocity vs mixed-progress batches); use batcher=window "
+                "or auto (auto falls back to window)")
         if self.batcher_segment_intervals < 1:
             raise ValueError("batcher_segment_intervals must be >= 1")
 

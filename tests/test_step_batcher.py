@@ -191,3 +191,71 @@ def test_step_batcher_overload_sheds():
     shed = [f for f in futs if f.done() and isinstance(f.exception(), OverloadedError)]
     assert len(shed) == 2
     b._jobs.clear()
+
+
+def _engine_interval():
+    """Engine configured with a guidance INTERVAL (cfg_interval) — round-5
+    extension: these samplers now ride the step path (the gate becomes
+    per-row data in solve_segment; cfg_cache/null_reuse stay window-only)."""
+    dit_cfg = DiTConfig(
+        dim=48, depth=1, heads=2, dim_head=24, ff_mult=2, mel_dim=16,
+        text_num_embeds=120, text_dim=24, conv_layers=1, max_pos=256,
+    )
+    voc_cfg = VocosConfig(input_channels=16, dim=32, intermediate_dim=64, num_layers=1)
+    return TTSEngine(
+        init_dit(jax.random.PRNGKey(0), dit_cfg), dit_cfg,
+        init_vocos(jax.random.PRNGKey(1), voc_cfg),
+        Tokenizer.from_texts(["step batcher test text"]),
+        EngineConfig(mel=MelConfig(n_mels=16), vocoder=voc_cfg,
+                     sampler=SamplerConfig(method="euler", steps=4,
+                                           cfg_interval=(0.3, 0.8)),
+                     duration_buckets=(64,), batch_buckets=(1, 2, 4), text_pad=32,
+                     compute_dtype="float32"),
+    )
+
+
+def test_segmented_cfg_interval_matches_monolithic():
+    """Guidance-interval rows solved segment-by-segment equal the window
+    path's host-partitioned guided/unguided runs (same gate: lo <= t0 < hi
+    on each step's start knot), including rows at different step counts."""
+    engine = _engine_interval()
+    rows = [_row(20, steps=4, cfg_strength=2.0), _row(21, steps=6, cfg_strength=1.5)]
+    solo = [engine.synthesize_rows([r])[0] for r in rows]
+
+    progs = SegmentPrograms(engine, segment_intervals=1)
+    g = SolveGroup(progs, nb=64, bb=2)
+    jobs = [_Job(r) for r in rows]
+    for j in jobs:
+        g.admit(j)
+    while g.active():
+        jax.block_until_ready(g.dispatch_segment())
+        g.finalize_done()
+    for j, (w_solo, m_solo) in zip(jobs, solo):
+        w, m = j.future.result(timeout=1)
+        np.testing.assert_allclose(w, w_solo, atol=1e-5)
+        np.testing.assert_allclose(m, m_solo, atol=1e-5)
+
+
+def test_adaptive_chaining_low_load():
+    """batcher=auto policy: a sole request's solve chains its segments
+    without per-segment host ticks, and the result is unchanged."""
+    engine = _engine()
+    b = StepBatcher(engine, segment_intervals=1, adaptive=True).start()
+    try:
+        r = _row(30, steps=4)
+        solo = engine.synthesize_rows([r])[0]
+        w, m = b.submit(r).result(timeout=300)
+        np.testing.assert_allclose(w, solo[0], atol=1e-5)
+        assert b.stats.get("chained_segments", 0) >= 1
+    finally:
+        b.stop()
+
+
+def test_settings_auto_batcher():
+    from f5tts_tpu.utils.config import Settings
+
+    assert Settings().batcher == "auto"
+    with pytest.raises(ValueError, match="cfg_cache"):
+        Settings(batcher="step", cfg_cache=4)
+    # auto + cfg_cache is allowed at Settings level (server falls back to window)
+    Settings(batcher="auto", cfg_cache=4)
