@@ -415,17 +415,24 @@ class StepBatcher:
         try:
             self._run_loop()
         finally:
-            # worker died unexpectedly: resolve every outstanding future and
-            # fail fast on later submits (same contract as ContinuousBatcher)
+            # resolve every outstanding future and fail fast on later submits
+            # (same contract as ContinuousBatcher). The drain must FAIL what
+            # it drains in BOTH exits: an earlier version drained self._jobs
+            # on clean stop without resolving the futures — a job submitted
+            # while the worker was inside its final solve tick was silently
+            # swallowed and its client waited the full result() timeout
+            # (caught by the hot-swap-under-traffic test once step became
+            # the default batcher).
             with self._lock:
                 died = not self._stop
                 self._stop = True
                 orphans, self._jobs = self._jobs, []
+            exc = OverloadedError("batcher worker died mid-solve" if died
+                                  else "batcher stopped during unload")
+            for job in orphans:
+                if not job.future.done():
+                    job.future.set_exception(exc)
             if died:
-                exc = OverloadedError("batcher worker died mid-solve")
-                for job in orphans:
-                    if not job.future.done():
-                        job.future.set_exception(exc)
                 for g in self._groups:
                     g.fail_all(exc)
                 self._groups = []

@@ -78,6 +78,15 @@ class DistillConfig:
     # error scale — sharp fields concentrate difficulty at few knots, and
     # uniform weighting lets the easy knots dominate the gradient.
     knot_weighting: str = "none"
+    # Knots per gradient chunk for the K-fold loss forward (0 = all K at
+    # once). The fused forward differentiates K*b rows at serving geometry;
+    # K=32 x b=2 at base = 64 grad rows, which exhausts HBM at compile.
+    # Chunking scans value_and_grad over K/loss_chunk chunks and SUMS the
+    # grads — mathematically identical for knot_weighting="none" (the loss
+    # is a flat sum with a global denominator); for "adaptive" the scale
+    # normalization becomes chunk-local (mean over the chunk's knots instead
+    # of all K). Must divide student_steps.
+    loss_chunk: int = 0
 
     @property
     def time_grid(self) -> tuple[float, ...]:
@@ -249,28 +258,56 @@ def make_distill_step(model_cfg: DiTConfig, cfg: DistillConfig,
             None, (states, knots_c[:-1], knots_c[1:]))
         targets = sg(targets)  # (K, b, n, mel)
 
-        # 3) one batched student forward over all K knots (K*b rows)
-        def loss_fn(params):
-            t_vec = jnp.repeat(knots_c[:-1], b)              # (K*b,)
-            y_flat = states.reshape(K * b, n, mel_dim)
-            pred = student_vel(params, student_emb(params), t_vec, y_flat, K)
+        # 3) batched student forward over the K knots (K*b rows), optionally
+        # split into loss_chunk-knot gradient chunks (HBM: the differentiated
+        # forward is the peak — K=32 x b=2 at base geometry does not compile
+        # in one piece)
+        kc = cfg.loss_chunk or K
+        if K % kc != 0:
+            raise ValueError(f"loss_chunk {kc} must divide student_steps {K}")
+        # global denominator: sum over ALL K knots' masks — keeps the chunked
+        # sum identical to the single-shot loss
+        denom = jnp.maximum(K * jnp.sum(gen_mask.astype(jnp.float32)) * mel_dim, 1.0)
+
+        def chunk_loss(params, st, tg, kn):
+            t_vec = jnp.repeat(kn, b)                        # (kc*b,)
+            y_flat = st.reshape(kc * b, n, mel_dim)
+            pred = student_vel(params, student_emb(params), t_vec, y_flat, kc)
             err = (pred.astype(jnp.float32)
-                   - targets.reshape(K * b, n, mel_dim).astype(jnp.float32))
-            w = jnp.tile(gen_mask.astype(jnp.float32), (K, 1, 1))
+                   - tg.reshape(kc * b, n, mel_dim).astype(jnp.float32))
+            w = jnp.tile(gen_mask.astype(jnp.float32), (kc, 1, 1))
             sq = jnp.square(err) * w
             if cfg.knot_weighting == "adaptive":
                 # equalize per-knot gradient scale: each knot's MSE is
                 # normalized by its own (stop-grad) magnitude, so the few
                 # hard knots of a sharp field aren't drowned by the easy ones
-                per_knot = (jnp.sum(sq.reshape(K, b, n, mel_dim), axis=(1, 2, 3))
-                            / jnp.maximum(jnp.sum(w) / K * mel_dim, 1.0))  # (K,)
+                # (normalized over this chunk's knots; chunk-local when
+                # loss_chunk < K)
+                per_knot = (jnp.sum(sq.reshape(kc, b, n, mel_dim), axis=(1, 2, 3))
+                            / jnp.maximum(jnp.sum(w) / kc * mel_dim, 1.0))  # (kc,)
                 scale = sg(1.0 / jnp.maximum(per_knot, 1e-8))
                 scale = scale / jnp.mean(scale)
-                sq = sq.reshape(K, b, n, mel_dim) * scale[:, None, None, None]
-                sq = sq.reshape(K * b, n, mel_dim)
-            return jnp.sum(sq) / jnp.maximum(jnp.sum(w) * mel_dim, 1.0)
+                sq = sq.reshape(kc, b, n, mel_dim) * scale[:, None, None, None]
+            return jnp.sum(sq) / denom
 
-        loss, grads = jax.value_and_grad(loss_fn)(student_params)
+        if kc == K:
+            loss, grads = jax.value_and_grad(chunk_loss)(
+                student_params, states, targets, knots_c[:-1])
+        else:
+            nch = K // kc
+            st_c = states.reshape(nch, kc, b, n, mel_dim)
+            tg_c = targets.reshape(nch, kc, b, n, mel_dim)
+            kn_c = knots_c[:-1].reshape(nch, kc)
+
+            def acc(carry, xs):
+                al, ag = carry
+                l, g = jax.value_and_grad(chunk_loss)(student_params, *xs)
+                return (al + l, jax.tree.map(jnp.add, ag, g)), None
+
+            (loss, grads), _ = lax.scan(
+                acc, (jnp.zeros((), jnp.float32),
+                      jax.tree.map(jnp.zeros_like, student_params)),
+                (st_c, tg_c, kn_c))
         updates, opt_state = optimizer.update(grads, opt_state, student_params)
         student_params = optax.apply_updates(student_params, updates)
         return student_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

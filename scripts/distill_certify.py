@@ -96,6 +96,11 @@ def main():
                         "--student-steps (final K = last ladder entry).")
     p.add_argument("--knot-weighting", default="none", choices=["none", "adaptive"],
                    help="per-knot loss normalization (sharp-field lever)")
+    p.add_argument("--loss-chunk", type=int, default=-1,
+                   help="knots per gradient chunk in the K-fold loss (-1 = "
+                        "auto: largest divisor of K with chunk*batch <= 16 "
+                        "rows, the proven base-geometry grad budget; 0 = "
+                        "single shot)")
     p.add_argument("--deepen", type=int, default=1,
                    help="student depth multiplier (capacity sweep): inserted "
                         "blocks start as exact identity (zeroed adaLN gates)")
@@ -201,12 +206,18 @@ def main():
     t0 = time.time()
     cur_teacher, cur_teacher_single = student_init, False
     for stage, K in enumerate(ladder):
+        if args.loss_chunk == -1:  # auto: largest divisor of K, <= 16 grad rows
+            kc = max(c for c in range(1, K + 1)
+                     if K % c == 0 and c * args.distill_batch <= 16)
+        else:
+            kc = args.loss_chunk
         dcfg = DistillConfig(
             student_steps=K, substeps=args.substeps,
             learning_rate=args.lr, lr_decay_steps=args.distill_steps,
             sway_sampling_coef=None if np.isnan(args.sway) else args.sway,
             teacher_single_branch=cur_teacher_single,
             knot_weighting=args.knot_weighting,
+            loss_chunk=0 if kc >= K else kc,
         )
         print(f"distilling stage {stage + 1}/{len(ladder)}: K={K} m={args.substeps} "
               f"teacher={'student' if cur_teacher_single else 'cfg-pair'} "

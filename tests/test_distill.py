@@ -126,3 +126,26 @@ def test_engine_serves_student_sampler(teacher):
     (wave, mel), = eng.synthesize_rows(rows)
     assert np.isfinite(wave).all() and np.isfinite(mel).all()
     assert mel.shape[0] == N - 4 - REF
+
+
+def test_loss_chunk_grads_match_single_shot(teacher):
+    """Knot-chunked gradient accumulation (the HBM-bounded K-fold loss) is
+    mathematically identical to the single-shot loss for uniform weighting:
+    same loss, same update."""
+    rng = np.random.default_rng(3)
+    batch = {k: jnp.asarray(v) for k, v in _prompts(rng).items()}
+
+    outs = {}
+    for kc in (0, 2):
+        dcfg = DistillConfig(student_steps=4, substeps=2, loss_chunk=kc)
+        optimizer, step = make_distill_step(CFG, dcfg)
+        student = jax.tree.map(jnp.copy, teacher)
+        opt_state = optimizer.init(student)
+        student, _, metrics = jax.jit(step)(student, opt_state, teacher, batch)
+        outs[kc] = (float(metrics["loss"]), student)
+
+    assert np.isclose(outs[0][0], outs[2][0], rtol=1e-5)
+    flat0 = jax.tree.leaves(outs[0][1])
+    flat2 = jax.tree.leaves(outs[2][1])
+    for a, b in zip(flat0, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

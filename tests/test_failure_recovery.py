@@ -21,7 +21,10 @@ from f5tts_tpu.utils.config import Settings
 
 
 def test_auto_reload_after_consecutive_failures():
-    service = ModelService(Settings(demo_tiny=True, warmup=False))
+    # injection point is engine.synthesize_rows — the WINDOW batcher's solve
+    # call (the step/auto path never calls it; its injection twin is
+    # test_step_path_failure_counts_and_reloads below)
+    service = ModelService(Settings(demo_tiny=True, warmup=False, batcher="window"))
     service.load()
     assert service.loaded
 
@@ -102,8 +105,10 @@ def test_step_batcher_worker_death_fails_waiters():
 
 def test_nan_solve_fails_only_faulty_request_under_cobatch():
     """A poisoned (NaN) solve 500s its own request and counts toward
-    auto-reload; a clean request sharing the batcher keeps working."""
-    service = ModelService(Settings(demo_tiny=True, warmup=False))
+    auto-reload; a clean request sharing the batcher keeps working.
+    (window path — the step-path twin is
+    test_step_path_nan_fails_only_poisoned_request)"""
+    service = ModelService(Settings(demo_tiny=True, warmup=False, batcher="window"))
     service.load()
     engine = service.engine
     orig = engine.synthesize_rows
@@ -130,6 +135,88 @@ def test_nan_solve_fails_only_faulty_request_under_cobatch():
         t.join(timeout=300)
     assert results["bad"] == ("http", 500)
     assert results["good"][0] == "ok" and results["good"][1][:4] == b"RIFF"
+    service.unload()
+
+
+def test_step_path_nan_fails_only_poisoned_request():
+    """Step/auto batcher twin of the NaN co-batch test: poison ONE row's
+    trajectory inside the jitted segment program (keyed on a distinctive
+    per-request cfg_strength — per-row data on the step path) — the poisoned
+    request 500s and counts toward auto-reload, its co-batched neighbor
+    succeeds."""
+    import jax.numpy as jnp
+
+    import f5tts_tpu.engine.step_batcher as sb
+
+    service = ModelService(Settings(demo_tiny=True, warmup=False, batcher="step"))
+    service.load()
+    orig_seg = sb.solve_segment
+
+    def poisoned_seg(*a, **kw):
+        y = orig_seg(*a, **kw)
+        match = kw["cfg_strength"] == 7.77
+        return jnp.where(match[:, None, None], jnp.nan, y)
+
+    sb.solve_segment = poisoned_seg
+    results = {}
+
+    def fire(tag, text, cfg_strength):
+        try:
+            results[tag] = ("ok", service.synthesize_sync(
+                SpeechRequest(text=text, nfe_step=2, cfg_strength=cfg_strength)))
+        except web.HTTPException as e:
+            results[tag] = ("http", e.status)
+
+    try:
+        ts = [threading.Thread(target=fire, args=("bad", "poison this one.", 7.77)),
+              threading.Thread(target=fire, args=("good", "a clean sentence.", 2.0))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+    finally:
+        sb.solve_segment = orig_seg
+    assert results["bad"] == ("http", 500)
+    assert results["good"][0] == "ok" and results["good"][1][:4] == b"RIFF"
+    # (no failure-counter assertion: the clean request legitimately resets
+    # the CONSECUTIVE counter — reload-on-failures is covered by
+    # test_step_path_failure_counts_and_reloads)
+    service.unload()
+
+
+def test_step_path_failure_counts_and_reloads():
+    """Step/auto batcher twin of the consecutive-failure reload test: a
+    device fault inside the segment program fails the request with a clean
+    500 and two consecutive failures trigger one background reload."""
+    import f5tts_tpu.engine.step_batcher as sb
+
+    service = ModelService(Settings(demo_tiny=True, warmup=False, batcher="step"))
+    service.load()
+
+    class Boom(Exception):
+        pass
+
+    orig_seg = sb.solve_segment
+
+    def broken_seg(*a, **kw):
+        raise Boom("device lost")
+
+    sb.solve_segment = broken_seg
+    try:
+        req = SpeechRequest(text="hello there.", nfe_step=2)
+        for _ in (1, 2):
+            with pytest.raises(web.HTTPInternalServerError):
+                service.synthesize_sync(req)
+        deadline = time.time() + 120
+        while time.time() < deadline and service.reloads == 0:
+            time.sleep(0.2)
+    finally:
+        sb.solve_segment = orig_seg
+    assert service.reloads == 1
+    assert service.loaded
+    # the reloaded service (fresh batcher, unpatched solver) serves again
+    body = service.synthesize_sync(SpeechRequest(text="after the reload.", nfe_step=2))
+    assert body[:4] == b"RIFF"
     service.unload()
 
 
