@@ -162,7 +162,7 @@ def main():
     p.add_argument("--duration-frames", type=int, default=896)
     p.add_argument("--bucket", type=int, default=1024)
     p.add_argument("--segment-intervals", type=int, default=2)
-    p.add_argument("--batchers", default="window,step")
+    p.add_argument("--batchers", default="window,step,auto")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="LOAD.json")
     args = p.parse_args()
@@ -178,6 +178,10 @@ def main():
     for name in args.batchers.split(","):
         if name == "window":
             b = ContinuousBatcher(engine, max_batch=8)
+        elif name == "auto":
+            # the load-adaptive default: step batching + idle-chaining
+            b = StepBatcher(engine, segment_intervals=args.segment_intervals,
+                            adaptive=True)
         else:
             b = StepBatcher(engine, segment_intervals=args.segment_intervals)
         b.start()

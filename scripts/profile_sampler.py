@@ -1,7 +1,12 @@
 """Where does sampler time go? Ablation timing on TPU: full step loop vs
-attention/FF/conv-pos knocked out. Tunnel RTT makes per-op timing useless, so
-each measurement is a whole 32-step jitted sampler call."""
+attention/FF/conv-pos/adaLN knocked out. Tunnel RTT makes per-op timing
+useless, so each measurement is a whole jitted sampler call at the SHIPPING
+recipe (ralston NFE-20 by default; PS_METHOD/PS_NFE/PS_BATCH/PS_ATTN env to
+override — PS_METHOD=euler PS_NFE=32 reproduces the round-2 knockout table's
+program)."""
 
+import json
+import os
 import time
 
 import numpy as np
@@ -9,15 +14,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+RESULTS = {}
+
 
 def measure(tag, params, cfg, inputs, iters=2):
-    from f5tts_tpu.sampling.euler import SamplerConfig, sample_cfm
+    from f5tts_tpu.sampling.euler import DEFAULT_NFE, SamplerConfig, nfe_to_steps, sample_cfm
 
+    method = os.environ.get("PS_METHOD", "ralston")
+    nfe = int(os.environ.get("PS_NFE", 0)) or DEFAULT_NFE[method]
+    steps = nfe_to_steps(nfe, method)
     fn = jax.jit(
         lambda p, cond, cl, text, dur, seeds: sample_cfm(
             p, cfg, cond=cond, cond_lens=cl, text=text, duration=dur,
-            sampler=SamplerConfig(steps=32, cfg_strength=2.0), seeds=seeds,
-            compute_dtype=jnp.bfloat16,
+            sampler=SamplerConfig(steps=steps, cfg_strength=2.0, method=method),
+            seeds=seeds, compute_dtype=jnp.bfloat16,
         )
     )
     out = fn(params, *inputs)
@@ -27,7 +37,8 @@ def measure(tag, params, cfg, inputs, iters=2):
         out = fn(params, *inputs)
         float(jnp.sum(out[..., :1].astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{tag}: {dt:.3f} s per 32-step sample")
+    print(f"{tag}: {dt:.3f} s per {method}-{steps} sample (NFE {nfe})", flush=True)
+    RESULTS[tag] = round(dt, 4)
     return dt
 
 
@@ -36,8 +47,12 @@ def main():
     from f5tts_tpu.models.dit import DiTConfig, init_dit
 
     cfg = DiTConfig.base()
+    if os.environ.get("PS_ATTN", "flash") == "flash":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, attn_impl="flash")
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), init_dit(jax.random.PRNGKey(0), cfg))
-    b, n = 8, 1024
+    b, n = int(os.environ.get("PS_BATCH", 8)), int(os.environ.get("PS_FRAMES", 1024))
     rng = np.random.default_rng(0)
     inputs = (
         jnp.asarray(rng.standard_normal((b, n, 100)), jnp.float32),
@@ -60,16 +75,34 @@ def main():
     m.feed_forward = orig_ff
 
     orig_cp = m.conv_pos_embedding
-    m.conv_pos_embedding = lambda p, x, mask=None, kernel_size=31, groups=16: jnp.zeros_like(x)
+    m.conv_pos_embedding = lambda p, x, mask=None, kernel_size=31, groups=16, impl="xla": jnp.zeros_like(x)
     no_cp = measure("no-convpos", params, cfg, inputs)
     m.conv_pos_embedding = orig_cp
 
+    # knock out the whole adaLN chain (timestep-conditioned linear + norms):
+    # identity modulation with the contract's shapes (h, gate_msa, shift_mlp,
+    # scale_mlp, gate_mlp)
+    orig_ada = m.adaln_zero
+    m.adaln_zero = lambda p, x, emb: (x, jnp.ones_like(emb), jnp.zeros_like(emb),
+                                      jnp.zeros_like(emb), jnp.ones_like(emb))
+    no_ada = measure("no-adaln", params, cfg, inputs)
+    m.adaln_zero = orig_ada
+
     import dataclasses
 
-    cfg_flash = dataclasses.replace(cfg, attn_impl="flash")
-    flash = measure("flash-attn", params, cfg_flash, inputs)
+    other = "xla" if cfg.attn_impl == "flash" else "flash"
+    cfg_other = dataclasses.replace(cfg, attn_impl=other)
+    measure(f"{other}-attn", params, cfg_other, inputs)
 
-    print(f"attention share ~{full - no_attn:.3f}s  ff share ~{full - no_ff:.3f}s  convpos ~{full - no_cp:.3f}s")
+    print(f"attention share ~{full - no_attn:.3f}s  ff share ~{full - no_ff:.3f}s  "
+          f"convpos ~{full - no_cp:.3f}s  adaln ~{full - no_ada:.3f}s")
+    out_path = os.environ.get("PS_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"batch": b, "frames": n,
+                       "method": os.environ.get("PS_METHOD", "ralston"),
+                       "attn": cfg.attn_impl, "times_s": RESULTS}, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
