@@ -59,7 +59,12 @@ def _err(a, b, mask):
     return float(np.sqrt(np.mean((a[mask] - b[mask]) ** 2)))
 
 
-@pytest.mark.parametrize("method", ["midpoint", "heun", "ralston", "rk4"])
+@pytest.mark.parametrize("method", [
+    "midpoint",
+    "ralston",
+    pytest.param("heun", marks=pytest.mark.slow),
+    pytest.param("rk4", marks=pytest.mark.slow),
+])
 def test_integrators_converge_to_the_euler_limit(solve_setup, method):
     """Every integrator solves the SAME guided ODE: at moderate step counts
     each lands near the fine-grid Euler solution, and refining the grid
