@@ -206,6 +206,13 @@ class ParlerDecoderConfig:
     # repeat_kv). None = full MHA (MusicGen / v1 behavior, torch-goldened).
     kv_heads: int | None = None
     cross_kv_heads: int | None = None
+    # decode-step layer walk: "stacked" = lax.scan over stacked block params
+    # with a layer-indexed cache gather/update (compact HLO); "unrolled" =
+    # python loop over layers with PER-LAYER cache arrays in the scan carry —
+    # no dynamic layer gather, static per-layer slices (the probe
+    # scripts/parler_step_probe.py measures which wins on chip; the gather
+    # can materialize a full per-layer cache copy per step)
+    decode_layout: str = "stacked"
 
     @property
     def head_dim(self) -> int:
@@ -543,8 +550,19 @@ def _decode_ctx(
         return h, (k, v)
 
     h0, (pk, pv) = lax.scan(prefill_block, x0, params["blocks"])
-    cache["k"] = lax.dynamic_update_slice_in_dim(cache["k"], pk, 0, axis=3)
-    cache["v"] = lax.dynamic_update_slice_in_dim(cache["v"], pv, 0, axis=3)
+    unrolled = cfg.decode_layout == "unrolled"
+    if unrolled:
+        # per-layer cache arrays (tuple carry): static layer slices in the
+        # decode step — no dynamic layer gather over the stacked cache
+        def _layer_cache(part, l):
+            z = jnp.zeros((b, cfg.n_kv, total, cfg.head_dim), compute_dtype)
+            return lax.dynamic_update_slice_in_dim(z, part[l], 0, axis=2)
+
+        cache = tuple((_layer_cache(pk, l), _layer_cache(pv, l))
+                      for l in range(cfg.layers))
+    else:
+        cache["k"] = lax.dynamic_update_slice_in_dim(cache["k"], pk, 0, axis=3)
+        cache["v"] = lax.dynamic_update_slice_in_dim(cache["v"], pv, 0, axis=3)
 
     # cross-attn K/V are static per layer — precompute (expanded) outside the scan
     def ca_kv(blk):
@@ -609,6 +627,47 @@ def _decode_ctx(
             per_block, (h_tok, cache["k"], cache["v"]),
             (params["blocks"], ca_k, ca_v, jnp.arange(n_layers)))
         return h_tok, {"k": nk, "v": nv}
+
+    def step_token_unrolled(h_tok, cache, step_pos):
+        """decode_layout="unrolled": python loop over layers, per-layer cache
+        arrays in the carry — same math as ``step_token`` without the
+        layer-indexed gather/update over the stacked cache."""
+        abs_pos = p + step_pos
+        scale = cfg.head_dim**-0.5
+        allowed = (jnp.arange(total)[None, None, None, :] <= abs_pos) & key_valid[:, None, None, :]
+        new_cache = []
+        for l in range(cfg.layers):
+            blk = jax.tree.map(lambda x: x[l], params["blocks"])
+            cak, cav = ca_k[l], ca_v[l]
+            ck, cv = cache[l]
+            xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_sa"]["w"], blk["ln_sa"]["b"])
+            q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, 1, cfg.heads)
+            k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.n_kv)
+            v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
+            ck = lax.dynamic_update_slice(ck, k_new, (0, 0, abs_pos, 0))
+            cv = lax.dynamic_update_slice(cv, v_new, (0, 0, abs_pos, 0))
+            lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(ck, cfg.heads),
+                            preferred_element_type=jnp.float32)
+            lg = jnp.where(allowed, lg, -1e9)
+            pr = jax.nn.softmax(lg, axis=-1).astype(cv.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", pr, _expand_kv(cv, cfg.heads))
+            o = o.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+            h_tok = h_tok + m.linear(blk["sa"]["o"], o)
+            xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ca"]["w"], blk["ln_ca"]["b"])
+            q = _split_heads(m.linear(blk["ca"]["q"], xn) * scale, b, 1, cfg.heads)
+            lg = jnp.einsum("bhqd,bhkd->bhqk", q, cak, preferred_element_type=jnp.float32)
+            if ca_bias is not None:
+                lg = lg + ca_bias
+            pr = jax.nn.softmax(lg, axis=-1).astype(cav.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", pr, cav).transpose(0, 2, 1, 3).reshape(b, 1, -1)
+            h_tok = h_tok + m.linear(blk["ca"]["o"], o)
+            y = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ff"]["w"], blk["ln_ff"]["b"])
+            h_tok = h_tok + m.linear(blk["fc2"], jax.nn.gelu(m.linear(blk["fc1"], y), approximate=False))
+            new_cache.append((ck, cv))
+        return h_tok, tuple(new_cache)
+
+    if unrolled:
+        step_token = step_token_unrolled
 
     codebook_idx = jnp.arange(K)
 

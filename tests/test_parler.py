@@ -533,3 +533,33 @@ def test_parler_generate_end_to_end_vs_hf_generate():
     codes = np.asarray(codes)
     assert np.all(np.asarray(lengths) == frames)
     np.testing.assert_array_equal(codes, want)
+
+
+def test_unrolled_decode_layout_matches_stacked():
+    """decode_layout="unrolled" (per-layer cache carry, no layer gather) is
+    bit-compatible with the stacked scan layout — same codes, same lengths,
+    with a prompt, GQA, and per-row seeds in play."""
+    import dataclasses
+
+    _seed()
+    cfg = P.ParlerDecoderConfig(vocab=40, codebooks=3, hidden=32, layers=2,
+                                heads=4, ffn=64, cross_dim=32, prompt_vocab=16,
+                                kv_heads=2, cross_kv_heads=2)
+    params = P.init_parler_decoder(jax.random.PRNGKey(0), cfg)
+    b, m_len, frames = 2, 6, 7
+    rng = np.random.default_rng(5)
+    enc = jnp.asarray(rng.standard_normal((b, m_len, cfg.cross_dim)), jnp.float32)
+    enc_mask = jnp.asarray([[True] * 6, [True] * 4 + [False] * 2])
+    prompt = jnp.asarray(rng.integers(0, cfg.prompt_vocab, (b, 3)), jnp.int32)
+    seeds = jnp.asarray([11, 12], jnp.int32)
+
+    outs = {}
+    for layout in ("stacked", "unrolled"):
+        c = dataclasses.replace(cfg, decode_layout=layout)
+        codes, lengths = P.parler_generate(
+            params, c, enc, enc_mask, frames, jax.random.PRNGKey(3),
+            prompt_ids=prompt, temperature=0.8, top_k=5, row_seeds=seeds)
+        outs[layout] = (np.asarray(codes), np.asarray(lengths))
+
+    np.testing.assert_array_equal(outs["stacked"][0], outs["unrolled"][0])
+    np.testing.assert_array_equal(outs["stacked"][1], outs["unrolled"][1])
