@@ -116,42 +116,44 @@ def main(argv=None):
 
     def make_stacked():
         """lax.scan over layers; caches stacked (L,b,NH,total,D) with
-        layer-indexed gather/DUS (the shipping pattern)."""
+        layer-indexed gather/DUS (the shipping pattern). params/ca caches are
+        ARGUMENTS of the jitted fn — closing over them serializes ~700 MB of
+        constants into the remote-compile request (HTTP 413)."""
 
-        def step(carry, j):
-            h, ck, cv = carry
+        def fn(params, ca_k, ca_v, x0):
+          def step(carry, j):
+              h, ck, cv = carry
 
-            def per_block(c, inp):
-                h, ck, cv = c
-                wq, wk, wv, wo, cq, co, f1, f2, l1, l2, l3, cak, cav, li = inp
-                xn = ln(h, l1)
-                q = jnp.einsum("bnh,hk->bnk", xn, wq)
-                kn = jnp.einsum("bnh,hk->bnk", xn, wk).reshape(b, 1, NH, D).transpose(0, 2, 1, 3)
-                vn = jnp.einsum("bnh,hk->bnk", xn, wv).reshape(b, 1, NH, D).transpose(0, 2, 1, 3)
-                ck = lax.dynamic_update_slice(ck, kn[None], (li, 0, 0, j, 0))
-                cv = lax.dynamic_update_slice(cv, vn[None], (li, 0, 0, j, 0))
-                kc = lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
-                vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
-                h = h + jnp.einsum("bnh,hk->bnk", attn_cache(q, kc, vc, j, total), wo)
-                xn = ln(h, l2)
-                qc = jnp.einsum("bnh,hk->bnk", xn, cq)
-                h = h + jnp.einsum("bnh,hk->bnk", ca_attn(qc, cak, cav), co)
-                h = h + ff(ln(h, l3), f1, f2)
-                return (h, ck, cv), None
+              def per_block(c, inp):
+                  h, ck, cv = c
+                  wq, wk, wv, wo, cq, co, f1, f2, l1, l2, l3, cak, cav, li = inp
+                  xn = ln(h, l1)
+                  q = jnp.einsum("bnh,hk->bnk", xn, wq)
+                  kn = jnp.einsum("bnh,hk->bnk", xn, wk).reshape(b, 1, NH, D).transpose(0, 2, 1, 3)
+                  vn = jnp.einsum("bnh,hk->bnk", xn, wv).reshape(b, 1, NH, D).transpose(0, 2, 1, 3)
+                  ck = lax.dynamic_update_slice(ck, kn[None], (li, 0, 0, j, 0))
+                  cv = lax.dynamic_update_slice(cv, vn[None], (li, 0, 0, j, 0))
+                  kc = lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+                  vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+                  h = h + jnp.einsum("bnh,hk->bnk", attn_cache(q, kc, vc, j, total), wo)
+                  xn = ln(h, l2)
+                  qc = jnp.einsum("bnh,hk->bnk", xn, cq)
+                  h = h + jnp.einsum("bnh,hk->bnk", ca_attn(qc, cak, cav), co)
+                  h = h + ff(ln(h, l3), f1, f2)
+                  return (h, ck, cv), None
 
-            (h, ck, cv), _ = lax.scan(
-                per_block, (h, ck, cv),
-                (params["wq"], params["wk"], params["wv"], params["wo"],
-                 params["cq"], params["co"], params["f1"], params["f2"],
-                 params["ln1"], params["ln2"], params["ln3"],
-                 ca_k, ca_v, jnp.arange(L)))
-            return (h, ck, cv), None
+              (h, ck, cv), _ = lax.scan(
+                  per_block, (h, ck, cv),
+                  (params["wq"], params["wk"], params["wv"], params["wo"],
+                   params["cq"], params["co"], params["f1"], params["f2"],
+                   params["ln1"], params["ln2"], params["ln3"],
+                   ca_k, ca_v, jnp.arange(L)))
+              return (h, ck, cv), None
 
-        def fn(x0):
-            ck = jnp.zeros((L, b, NH, total, D), dt)
-            cv = jnp.zeros((L, b, NH, total, D), dt)
-            (h, ck, cv), _ = lax.scan(step, (x0, ck, cv), jnp.arange(args.steps))
-            return h
+          ck = jnp.zeros((L, b, NH, total, D), dt)
+          cv = jnp.zeros((L, b, NH, total, D), dt)
+          (h, ck, cv), _ = lax.scan(step, (x0, ck, cv), jnp.arange(args.steps))
+          return h
 
         return fn
 
@@ -159,7 +161,8 @@ def main(argv=None):
         """python loop over layers; per-layer caches (tuple), static slices."""
         tot = tot or total
 
-        def step(carry, j):
+        def fn(params, ca_k, ca_v, x0):
+          def step(carry, j):
             h, caches = carry
             new_caches = []
             for l in range(L):
@@ -189,11 +192,10 @@ def main(argv=None):
                 new_caches.append((ck, cv))
             return (h, tuple(new_caches)), None
 
-        def fn(x0):
-            caches = tuple((jnp.zeros((b, NH, tot, D), dt),
-                            jnp.zeros((b, NH, tot, D), dt)) for _ in range(L))
-            (h, _), _ = lax.scan(step, (x0, caches), jnp.arange(args.steps))
-            return h
+          caches = tuple((jnp.zeros((b, NH, tot, D), dt),
+                          jnp.zeros((b, NH, tot, D), dt)) for _ in range(L))
+          (h, _), _ = lax.scan(step, (x0, caches), jnp.arange(args.steps))
+          return h
 
         return fn
 
@@ -210,12 +212,12 @@ def main(argv=None):
     results = {"args": vars(args), "w_bytes_per_step": w_bytes, "rows": []}
     for name in args.variants.split(","):
         fn = jax.jit(variants[name]())
-        out = fn(x0)
+        out = fn(params, ca_k, ca_v, x0)
         jax.block_until_ready(out)
         float(jnp.sum(out.astype(jnp.float32)))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fn(x0)
+            out = fn(params, ca_k, ca_v, x0)
             s = float(jnp.sum(out.astype(jnp.float32)))
         dtw = (time.perf_counter() - t0) / args.iters
         assert np.isfinite(s)
