@@ -100,6 +100,12 @@ class ParlerEngineConfig:
     # batch path; the real-geometry DAC RF is ~12 latent frames)
     stream_frames: int = 64
     stream_margin_frames: int = 32
+    # decode-step layout override applied onto the decoder config (see
+    # ParlerDecoderConfig.decode_layout / fuse_decode_qkv; bit-compatible,
+    # probe-measured on chip — PARLER_STEP_PROBE.json). Env:
+    # F5TPU_PARLER_DECODE_LAYOUT / cli. None = keep the decoder's own values.
+    decode_layout: str | None = None
+    fuse_decode_qkv: bool | None = None
 
 
 @dataclass
@@ -131,6 +137,14 @@ class ParlerTTSEngine:
 
         self.P = P
         self.t5_params, self.t5_cfg = t5_params, t5_cfg
+        if cfg.decode_layout is not None or cfg.fuse_decode_qkv is not None:
+            import dataclasses
+
+            dec_cfg = dataclasses.replace(
+                dec_cfg,
+                **({"decode_layout": cfg.decode_layout} if cfg.decode_layout is not None else {}),
+                **({"fuse_decode_qkv": cfg.fuse_decode_qkv} if cfg.fuse_decode_qkv is not None else {}),
+            )
         self.dec_params, self.dec_cfg = dec_params, dec_cfg
         self.dac_params, self.dac_cfg = dac_params, dac_cfg
         self.cfg = cfg

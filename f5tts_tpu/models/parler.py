@@ -213,6 +213,14 @@ class ParlerDecoderConfig:
     # scripts/parler_step_probe.py measures which wins on chip; the gather
     # can materialize a full per-layer cache copy per step)
     decode_layout: str = "stacked"
+    # unrolled-layout option: one (hidden -> q|k|v) matmul per decode step
+    # instead of three GEMV-shaped launches. Decode is bandwidth/launch-bound
+    # (PARLER_STEP_PROBE.json: fused variant -22% vs unrolled) — the OPPOSITE
+    # regime from the DiT serving path where qkv fusion measured slower
+    # (BENCH.md round-2; large-batch MXU-bound). ca_q is NOT fused: it
+    # applies to the post-self-attention norm, so fusing it would change the
+    # math.
+    fuse_decode_qkv: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -628,12 +636,22 @@ def _decode_ctx(
             (params["blocks"], ca_k, ca_v, jnp.arange(n_layers)))
         return h_tok, {"k": nk, "v": nv}
 
+    # fused q|k|v weight per layer for the unrolled step (one bandwidth-bound
+    # matmul instead of three; concat runs once per decode CALL, amortized
+    # over all positions)
+    wqkv_fused = None
+    if unrolled and cfg.fuse_decode_qkv:
+        wqkv_fused = jnp.concatenate(
+            [params["blocks"]["sa"]["q"]["w"], params["blocks"]["sa"]["k"]["w"],
+             params["blocks"]["sa"]["v"]["w"]], axis=-1).astype(compute_dtype)
+
     def step_token_unrolled(h_tok, cache, step_pos):
         """decode_layout="unrolled": python loop over layers, per-layer cache
         arrays in the carry — same math as ``step_token`` without the
         layer-indexed gather/update over the stacked cache."""
         abs_pos = p + step_pos
         scale = cfg.head_dim**-0.5
+        kv_w = cfg.n_kv * cfg.head_dim
         allowed = (jnp.arange(total)[None, None, None, :] <= abs_pos) & key_valid[:, None, None, :]
         new_cache = []
         for l in range(cfg.layers):
@@ -641,9 +659,17 @@ def _decode_ctx(
             cak, cav = ca_k[l], ca_v[l]
             ck, cv = cache[l]
             xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_sa"]["w"], blk["ln_sa"]["b"])
-            q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, 1, cfg.heads)
-            k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.n_kv)
-            v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
+            if wqkv_fused is not None:
+                qkv = xn @ wqkv_fused[l]
+                q_, k_, v_ = (qkv[..., : cfg.hidden], qkv[..., cfg.hidden: cfg.hidden + kv_w],
+                              qkv[..., cfg.hidden + kv_w:])
+                q = _split_heads(q_ * scale, b, 1, cfg.heads)
+                k_new = _split_heads(k_, b, 1, cfg.n_kv)
+                v_new = _split_heads(v_, b, 1, cfg.n_kv)
+            else:
+                q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, 1, cfg.heads)
+                k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.n_kv)
+                v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
             ck = lax.dynamic_update_slice(ck, k_new, (0, 0, abs_pos, 0))
             cv = lax.dynamic_update_slice(cv, v_new, (0, 0, abs_pos, 0))
             lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(ck, cfg.heads),

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=430, help="~5 s at the DAC rate")
     p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--decode-layout", default=None, choices=[None, "stacked", "unrolled"])
+    p.add_argument("--fuse-qkv", type=int, default=-1, help="-1 keep, 0 off, 1 on")
     args = p.parse_args(argv)
 
     from f5tts_tpu.utils.cache import enable_compilation_cache
@@ -50,7 +52,9 @@ def main(argv=None):
         P.init_dac_decoder(kq, dac), dac,
         ParlerEngineConfig(max_frames=args.frames, desc_pad=64, prompt_pad=64,
                            temperature=0.0,  # greedy; random-init rows never EOS early
-                           eos_token=-1, compute_dtype="bfloat16"),
+                           eos_token=-1, compute_dtype="bfloat16",
+                           decode_layout=args.decode_layout,
+                           fuse_decode_qkv=None if args.fuse_qkv < 0 else bool(args.fuse_qkv)),
         encode_fn=lambda s: [ord(c) % t5.vocab for c in s],
     )
 

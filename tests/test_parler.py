@@ -554,12 +554,13 @@ def test_unrolled_decode_layout_matches_stacked():
     seeds = jnp.asarray([11, 12], jnp.int32)
 
     outs = {}
-    for layout in ("stacked", "unrolled"):
-        c = dataclasses.replace(cfg, decode_layout=layout)
+    for layout, fuse in (("stacked", False), ("unrolled", False), ("unrolled", True)):
+        c = dataclasses.replace(cfg, decode_layout=layout, fuse_decode_qkv=fuse)
         codes, lengths = P.parler_generate(
             params, c, enc, enc_mask, frames, jax.random.PRNGKey(3),
             prompt_ids=prompt, temperature=0.8, top_k=5, row_seeds=seeds)
-        outs[layout] = (np.asarray(codes), np.asarray(lengths))
+        outs[(layout, fuse)] = (np.asarray(codes), np.asarray(lengths))
 
-    np.testing.assert_array_equal(outs["stacked"][0], outs["unrolled"][0])
-    np.testing.assert_array_equal(outs["stacked"][1], outs["unrolled"][1])
+    for k in [("unrolled", False), ("unrolled", True)]:
+        np.testing.assert_array_equal(outs[("stacked", False)][0], outs[k][0])
+        np.testing.assert_array_equal(outs[("stacked", False)][1], outs[k][1])
