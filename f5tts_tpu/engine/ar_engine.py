@@ -106,6 +106,9 @@ class ParlerEngineConfig:
     # F5TPU_PARLER_DECODE_LAYOUT / cli. None = keep the decoder's own values.
     decode_layout: str | None = None
     fuse_decode_qkv: bool | None = None
+    # "pallas" = fused single-pass cache-attention decode kernel
+    # (ops/pallas/decode_attention.py; requires decode_layout="unrolled")
+    decode_attn: str | None = None
 
 
 @dataclass
@@ -137,13 +140,15 @@ class ParlerTTSEngine:
 
         self.P = P
         self.t5_params, self.t5_cfg = t5_params, t5_cfg
-        if cfg.decode_layout is not None or cfg.fuse_decode_qkv is not None:
+        if (cfg.decode_layout is not None or cfg.fuse_decode_qkv is not None
+                or cfg.decode_attn is not None):
             import dataclasses
 
             dec_cfg = dataclasses.replace(
                 dec_cfg,
                 **({"decode_layout": cfg.decode_layout} if cfg.decode_layout is not None else {}),
                 **({"fuse_decode_qkv": cfg.fuse_decode_qkv} if cfg.fuse_decode_qkv is not None else {}),
+                **({"decode_attn": cfg.decode_attn} if cfg.decode_attn is not None else {}),
             )
         self.dec_params, self.dec_cfg = dec_params, dec_cfg
         self.dac_params, self.dac_cfg = dac_params, dac_cfg

@@ -221,6 +221,13 @@ class ParlerDecoderConfig:
     # applies to the post-self-attention norm, so fusing it would change the
     # math.
     fuse_decode_qkv: bool = False
+    # decode-step cache attention: "xla" = einsum + softmax (portable);
+    # "pallas" = fused single-pass kernel (ops/pallas/decode_attention.py) —
+    # reads each cache exactly once per step instead of XLA's ~3x traffic
+    # (layout copies + materialized f32 logits). Requires
+    # decode_layout="unrolled"; the cache allocation is rounded up to a
+    # 16-position multiple (sublane tile) and the tail masked.
+    decode_attn: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -507,6 +514,13 @@ def _decode_ctx(
     p = 0 if prompt_ids is None else prompt_ids.shape[1]
     steps = frames + K - 1  # positions 1 .. frames+K-1 of the code stream
     total = p + 1 + steps
+    if cfg.decode_attn == "pallas":
+        # fused cache-attention kernel: cache positions ride the sublane
+        # axis (16-wide bf16 tile) — round the allocation up; the causal
+        # step bound masks the tail (never written, never attended)
+        assert cfg.decode_layout == "unrolled", \
+            "decode_attn='pallas' requires decode_layout='unrolled'"
+        total = -(-total // 16) * 16
 
     enc_h = _encoder_states(params, enc, compute_dtype)
     ca_bias = None
@@ -653,6 +667,16 @@ def _decode_ctx(
         scale = cfg.head_dim**-0.5
         kv_w = cfg.n_kv * cfg.head_dim
         allowed = (jnp.arange(total)[None, None, None, :] <= abs_pos) & key_valid[:, None, None, :]
+        use_pallas = cfg.decode_attn == "pallas"
+        if use_pallas:
+            from f5tts_tpu.ops.pallas.decode_attention import decode_attention_auto
+            # additive (b, total) bias: causal step bound + key padding —
+            # per step, shared by all layers (~32 KB, rebuilt in XLA)
+            sa_bias = jnp.where(allowed[:, 0, 0, :], 0.0, -1e9).astype(jnp.float32)
+            ca_pallas = enc_h.shape[1] % 16 == 0
+            ca_bias2 = (jnp.where(enc_mask, 0.0, -1e9).astype(jnp.float32)
+                        if enc_mask is not None
+                        else jnp.zeros((b, enc_h.shape[1]), jnp.float32))
         new_cache = []
         for l in range(cfg.layers):
             blk = jax.tree.map(lambda x: x[l], params["blocks"])
@@ -672,20 +696,27 @@ def _decode_ctx(
                 v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
             ck = lax.dynamic_update_slice(ck, k_new, (0, 0, abs_pos, 0))
             cv = lax.dynamic_update_slice(cv, v_new, (0, 0, abs_pos, 0))
-            lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(ck, cfg.heads),
-                            preferred_element_type=jnp.float32)
-            lg = jnp.where(allowed, lg, -1e9)
-            pr = jax.nn.softmax(lg, axis=-1).astype(cv.dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", pr, _expand_kv(cv, cfg.heads))
+            if use_pallas:
+                o = decode_attention_auto(q, ck, cv, sa_bias)
+            else:
+                lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(ck, cfg.heads),
+                                preferred_element_type=jnp.float32)
+                lg = jnp.where(allowed, lg, -1e9)
+                pr = jax.nn.softmax(lg, axis=-1).astype(cv.dtype)
+                o = jnp.einsum("bhqk,bhkd->bhqd", pr, _expand_kv(cv, cfg.heads))
             o = o.transpose(0, 2, 1, 3).reshape(b, 1, -1)
             h_tok = h_tok + m.linear(blk["sa"]["o"], o)
             xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ca"]["w"], blk["ln_ca"]["b"])
             q = _split_heads(m.linear(blk["ca"]["q"], xn) * scale, b, 1, cfg.heads)
-            lg = jnp.einsum("bhqd,bhkd->bhqk", q, cak, preferred_element_type=jnp.float32)
-            if ca_bias is not None:
-                lg = lg + ca_bias
-            pr = jax.nn.softmax(lg, axis=-1).astype(cav.dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", pr, cav).transpose(0, 2, 1, 3).reshape(b, 1, -1)
+            if use_pallas and ca_pallas:
+                o = decode_attention_auto(q, cak, cav, ca_bias2)
+                o = o.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+            else:
+                lg = jnp.einsum("bhqd,bhkd->bhqk", q, cak, preferred_element_type=jnp.float32)
+                if ca_bias is not None:
+                    lg = lg + ca_bias
+                pr = jax.nn.softmax(lg, axis=-1).astype(cav.dtype)
+                o = jnp.einsum("bhqk,bhkd->bhqd", pr, cav).transpose(0, 2, 1, 3).reshape(b, 1, -1)
             h_tok = h_tok + m.linear(blk["ca"]["o"], o)
             y = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ff"]["w"], blk["ln_ff"]["b"])
             h_tok = h_tok + m.linear(blk["fc2"], jax.nn.gelu(m.linear(blk["fc1"], y), approximate=False))

@@ -34,6 +34,7 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--decode-layout", default=None, choices=[None, "stacked", "unrolled"])
     p.add_argument("--fuse-qkv", type=int, default=-1, help="-1 keep, 0 off, 1 on")
+    p.add_argument("--decode-attn", default=None, choices=[None, "xla", "pallas"])
     args = p.parse_args(argv)
 
     from f5tts_tpu.utils.cache import enable_compilation_cache
@@ -54,7 +55,8 @@ def main(argv=None):
                            temperature=0.0,  # greedy; random-init rows never EOS early
                            eos_token=-1, compute_dtype="bfloat16",
                            decode_layout=args.decode_layout,
-                           fuse_decode_qkv=None if args.fuse_qkv < 0 else bool(args.fuse_qkv)),
+                           fuse_decode_qkv=None if args.fuse_qkv < 0 else bool(args.fuse_qkv),
+                           decode_attn=args.decode_attn),
         encode_fn=lambda s: [ord(c) % t5.vocab for c in s],
     )
 

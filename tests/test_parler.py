@@ -564,3 +564,34 @@ def test_unrolled_decode_layout_matches_stacked():
     for k in [("unrolled", False), ("unrolled", True)]:
         np.testing.assert_array_equal(outs[("stacked", False)][0], outs[k][0])
         np.testing.assert_array_equal(outs[("stacked", False)][1], outs[k][1])
+
+
+def test_pallas_decode_attn_matches_xla():
+    """decode_attn="pallas" (fused single-pass cache-attention kernel,
+    interpret mode on CPU) reproduces the XLA decode path exactly — same
+    codes, same lengths — with a prompt, GQA, enc padding, per-row sampling
+    seeds, and the rounded-up (16-multiple) cache allocation in play."""
+    import dataclasses
+
+    _seed()
+    cfg = P.ParlerDecoderConfig(vocab=40, codebooks=3, hidden=32, layers=2,
+                                heads=4, ffn=64, cross_dim=32, prompt_vocab=16,
+                                kv_heads=2, cross_kv_heads=2)
+    params = P.init_parler_decoder(jax.random.PRNGKey(0), cfg)
+    b, m_len, frames = 2, 16, 7  # m_len % 16 == 0 -> cross rides the kernel too
+    rng = np.random.default_rng(5)
+    enc = jnp.asarray(rng.standard_normal((b, m_len, cfg.cross_dim)), jnp.float32)
+    enc_mask = jnp.asarray([[True] * 16, [True] * 9 + [False] * 7])
+    prompt = jnp.asarray(rng.integers(0, cfg.prompt_vocab, (b, 3)), jnp.int32)
+    seeds = jnp.asarray([11, 12], jnp.int32)
+
+    outs = {}
+    for attn in ("xla", "pallas"):
+        c = dataclasses.replace(cfg, decode_layout="unrolled", decode_attn=attn)
+        codes, lengths = P.parler_generate(
+            params, c, enc, enc_mask, frames, jax.random.PRNGKey(3),
+            prompt_ids=prompt, temperature=0.8, top_k=5, row_seeds=seeds)
+        outs[attn] = (np.asarray(codes), np.asarray(lengths))
+
+    np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
