@@ -102,10 +102,13 @@ class ParlerEngineConfig:
     stream_margin_frames: int = 32
     # decode-step layout override applied onto the decoder config (see
     # ParlerDecoderConfig.decode_layout / fuse_decode_qkv; bit-compatible,
-    # probe-measured on chip — PARLER_STEP_PROBE.json). Env:
-    # F5TPU_PARLER_DECODE_LAYOUT / cli. None = keep the decoder's own values.
-    decode_layout: str | None = None
-    fuse_decode_qkv: bool | None = None
+    # probe-measured on chip — PARLER_STEP_PROBE.json). SERVING defaults are
+    # the round-5 engine-level chip A/B winner: unrolled + fused q|k|v
+    # (27.82 -> 32.49 audio-s/s at b=16 vs the stacked scan, same session).
+    # The model-config default stays "stacked" (compact HLO for training /
+    # portable paths). None = keep the decoder's own values.
+    decode_layout: str | None = "unrolled"
+    fuse_decode_qkv: bool | None = True
     # "pallas" = fused single-pass cache-attention decode kernel
     # (ops/pallas/decode_attention.py; requires decode_layout="unrolled")
     decode_attn: str | None = None

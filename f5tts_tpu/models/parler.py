@@ -515,12 +515,12 @@ def _decode_ctx(
     steps = frames + K - 1  # positions 1 .. frames+K-1 of the code stream
     total = p + 1 + steps
     if cfg.decode_attn == "pallas":
-        # fused cache-attention kernel: cache positions ride the sublane
-        # axis (16-wide bf16 tile) — round the allocation up; the causal
-        # step bound masks the tail (never written, never attended)
+        # fused cache-attention kernel: cache positions ride the LANE axis
+        # (128-wide tile) — round the allocation up; the causal step bound
+        # masks the tail (never written, never attended)
         assert cfg.decode_layout == "unrolled", \
             "decode_attn='pallas' requires decode_layout='unrolled'"
-        total = -(-total // 16) * 16
+        total = -(-total // 128) * 128
 
     enc_h = _encoder_states(params, enc, compute_dtype)
     ca_bias = None
@@ -575,12 +575,20 @@ def _decode_ctx(
     unrolled = cfg.decode_layout == "unrolled"
     if unrolled:
         # per-layer cache arrays (tuple carry): static layer slices in the
-        # decode step — no dynamic layer gather over the stacked cache
-        def _layer_cache(part, l):
+        # decode step — no dynamic layer gather over the stacked cache.
+        # decode_attn="pallas" keeps the K cache TRANSPOSED (d, total) so
+        # the kernel's logits land with positions on the lane axis.
+        k_transposed = cfg.decode_attn == "pallas"
+
+        def _layer_cache(part, l, transposed=False):
+            if transposed:
+                z = jnp.zeros((b, cfg.n_kv, cfg.head_dim, total), compute_dtype)
+                return lax.dynamic_update_slice_in_dim(
+                    z, part[l].transpose(0, 1, 3, 2), 0, axis=3)
             z = jnp.zeros((b, cfg.n_kv, total, cfg.head_dim), compute_dtype)
             return lax.dynamic_update_slice_in_dim(z, part[l], 0, axis=2)
 
-        cache = tuple((_layer_cache(pk, l), _layer_cache(pv, l))
+        cache = tuple((_layer_cache(pk, l, k_transposed), _layer_cache(pv, l))
                       for l in range(cfg.layers))
     else:
         cache["k"] = lax.dynamic_update_slice_in_dim(cache["k"], pk, 0, axis=3)
@@ -659,6 +667,21 @@ def _decode_ctx(
             [params["blocks"]["sa"]["q"]["w"], params["blocks"]["sa"]["k"]["w"],
              params["blocks"]["sa"]["v"]["w"]], axis=-1).astype(compute_dtype)
 
+    # cross-attention operands for the pallas decode kernel: K transposed to
+    # (d, enc) and enc padded to the 128-lane tile, masked via the bias —
+    # static per decode call, computed once outside the position scan
+    ca_kt_pad = ca_v_pad = ca_bias_pad = None
+    if unrolled and cfg.decode_attn == "pallas":
+        enc_n = ca_k.shape[3]
+        padn = -(-enc_n // 128) * 128 - enc_n
+        ca_kt_pad = jnp.pad(
+            ca_k, ((0, 0), (0, 0), (0, 0), (0, padn), (0, 0))).transpose(0, 1, 2, 4, 3)
+        ca_v_pad = jnp.pad(ca_v, ((0, 0), (0, 0), (0, 0), (0, padn), (0, 0)))
+        _cb = (jnp.where(enc_mask, 0.0, -1e9) if enc_mask is not None
+               else jnp.zeros((b, enc_n)))
+        ca_bias_pad = jnp.pad(_cb.astype(jnp.float32), ((0, 0), (0, padn)),
+                              constant_values=-1e9)
+
     def step_token_unrolled(h_tok, cache, step_pos):
         """decode_layout="unrolled": python loop over layers, per-layer cache
         arrays in the carry — same math as ``step_token`` without the
@@ -673,10 +696,6 @@ def _decode_ctx(
             # additive (b, total) bias: causal step bound + key padding —
             # per step, shared by all layers (~32 KB, rebuilt in XLA)
             sa_bias = jnp.where(allowed[:, 0, 0, :], 0.0, -1e9).astype(jnp.float32)
-            ca_pallas = enc_h.shape[1] % 16 == 0
-            ca_bias2 = (jnp.where(enc_mask, 0.0, -1e9).astype(jnp.float32)
-                        if enc_mask is not None
-                        else jnp.zeros((b, enc_h.shape[1]), jnp.float32))
         new_cache = []
         for l in range(cfg.layers):
             blk = jax.tree.map(lambda x: x[l], params["blocks"])
@@ -694,11 +713,14 @@ def _decode_ctx(
                 q = _split_heads(m.linear(blk["sa"]["q"], xn) * scale, b, 1, cfg.heads)
                 k_new = _split_heads(m.linear(blk["sa"]["k"], xn), b, 1, cfg.n_kv)
                 v_new = _split_heads(m.linear(blk["sa"]["v"], xn), b, 1, cfg.n_kv)
-            ck = lax.dynamic_update_slice(ck, k_new, (0, 0, abs_pos, 0))
-            cv = lax.dynamic_update_slice(cv, v_new, (0, 0, abs_pos, 0))
             if use_pallas:
+                ck = lax.dynamic_update_slice(
+                    ck, k_new.transpose(0, 1, 3, 2), (0, 0, 0, abs_pos))
+                cv = lax.dynamic_update_slice(cv, v_new, (0, 0, abs_pos, 0))
                 o = decode_attention_auto(q, ck, cv, sa_bias)
             else:
+                ck = lax.dynamic_update_slice(ck, k_new, (0, 0, abs_pos, 0))
+                cv = lax.dynamic_update_slice(cv, v_new, (0, 0, abs_pos, 0))
                 lg = jnp.einsum("bhqd,bhkd->bhqk", q, _expand_kv(ck, cfg.heads),
                                 preferred_element_type=jnp.float32)
                 lg = jnp.where(allowed, lg, -1e9)
@@ -708,8 +730,8 @@ def _decode_ctx(
             h_tok = h_tok + m.linear(blk["sa"]["o"], o)
             xn = m.layer_norm(h_tok, cfg.ln_eps, blk["ln_ca"]["w"], blk["ln_ca"]["b"])
             q = _split_heads(m.linear(blk["ca"]["q"], xn) * scale, b, 1, cfg.heads)
-            if use_pallas and ca_pallas:
-                o = decode_attention_auto(q, cak, cav, ca_bias2)
+            if use_pallas:
+                o = decode_attention_auto(q, ca_kt_pad[l], ca_v_pad[l], ca_bias_pad)
                 o = o.transpose(0, 2, 1, 3).reshape(b, 1, -1)
             else:
                 lg = jnp.einsum("bhqd,bhkd->bhqk", q, cak, preferred_element_type=jnp.float32)

@@ -202,18 +202,25 @@ def main(argv=None):
     def make_pallas(fused=True):
         """unrolled + fused qkv + the fused single-pass cache-attention
         kernel (ops/pallas/decode_attention.py) for self AND cross attention
-        — cache total rounded to the 16-sublane tile (as the shipping decode
-        context does)."""
+        — K caches transposed (d, total) with total/enc rounded to the
+        128-lane tile (as the shipping decode context does)."""
         from f5tts_tpu.ops.pallas.decode_attention import decode_attention
 
-        tot = -(-total // 16) * 16
+        tot = -(-total // 128) * 128
+        encp = -(-args.enc_len // 128) * 128
 
         def fn(params, ca_k, ca_v, x0):
+          padn = encp - args.enc_len
+          ca_kt = jnp.pad(ca_k, ((0, 0),) * 3 + ((0, padn), (0, 0))
+                          ).transpose(0, 1, 2, 4, 3)
+          ca_vp = jnp.pad(ca_v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+          ca_bias = jnp.pad(jnp.zeros((b, args.enc_len), jnp.float32),
+                            ((0, 0), (0, padn)), constant_values=-1e9)
+
           def step(carry, j):
             h, caches = carry
             sa_bias = jnp.where(jnp.arange(tot)[None, :] <= j, 0.0, -1e9
                                 ).astype(jnp.float32) * jnp.ones((b, 1), jnp.float32)
-            ca_bias = jnp.zeros((b, args.enc_len), jnp.float32)
             new_caches = []
             for l in range(L):
                 ck, cv = caches[l]
@@ -225,9 +232,9 @@ def main(argv=None):
                     q = jnp.einsum("bnh,hk->bnk", xn, params["wq"][l])
                     kn_ = jnp.einsum("bnh,hk->bnk", xn, params["wk"][l])
                     vn_ = jnp.einsum("bnh,hk->bnk", xn, params["wv"][l])
-                kn = kn_.reshape(b, 1, NH, D).transpose(0, 2, 1, 3)
+                kn = kn_.reshape(b, 1, NH, D).transpose(0, 2, 3, 1)  # (b,NH,D,1)
                 vn = vn_.reshape(b, 1, NH, D).transpose(0, 2, 1, 3)
-                ck = lax.dynamic_update_slice(ck, kn, (0, 0, j, 0))
+                ck = lax.dynamic_update_slice(ck, kn, (0, 0, 0, j))
                 cv = lax.dynamic_update_slice(cv, vn, (0, 0, j, 0))
                 qh = q.reshape(b, 1, NH, D).transpose(0, 2, 1, 3) * (D ** -0.5)
                 o = decode_attention(qh, ck, cv, sa_bias).transpose(0, 2, 1, 3).reshape(b, 1, H)
@@ -236,14 +243,14 @@ def main(argv=None):
                 if not fused:
                     qc = jnp.einsum("bnh,hk->bnk", xn, params["cq"][l])
                 qch = qc.reshape(b, 1, NH, D).transpose(0, 2, 1, 3) * (D ** -0.5)
-                o = decode_attention(qch, ca_k[l], ca_v[l], ca_bias
+                o = decode_attention(qch, ca_kt[l], ca_vp[l], ca_bias
                                      ).transpose(0, 2, 1, 3).reshape(b, 1, H)
                 h = h + jnp.einsum("bnh,hk->bnk", o, params["co"][l])
                 h = h + ff(ln(h, params["ln3"][l]), params["f1"][l], params["f2"][l])
                 new_caches.append((ck, cv))
             return (h, tuple(new_caches)), None
 
-          caches = tuple((jnp.zeros((b, NH, tot, D), dt),
+          caches = tuple((jnp.zeros((b, NH, D, tot), dt),
                           jnp.zeros((b, NH, tot, D), dt)) for _ in range(L))
           (h, _), _ = lax.scan(step, (x0, caches), jnp.arange(args.steps))
           return h
@@ -275,7 +282,7 @@ def main(argv=None):
         assert np.isfinite(s)
         step_us = dtw / args.steps * 1e6
         tot = (256 if name == "shortcache"
-               else -(-total // 16) * 16 if name == "pallasattn" else total)
+               else -(-total // 128) * 128 if name == "pallasattn" else total)
         cache_bytes = 2 * L * 2 * b * NH * tot * D  # full padded cache read (k+v)
         bound_us = (w_bytes + (cache_bytes if name != "noattn" else 0)) / HBM_BW * 1e6
         row = {"variant": name, "step_us": round(step_us, 1),
