@@ -7,7 +7,10 @@ program)."""
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -62,37 +65,49 @@ def main():
         jnp.arange(b, dtype=jnp.int32),
     )
 
+    # PS_VARIANTS subsets the knockouts (comma list) — each variant is a
+    # separate ~6-10 min remote compile, so trim when the tunnel window is
+    # short. Default = all.
+    want = os.environ.get(
+        "PS_VARIANTS", "full,no-attention,no-ff,no-convpos,no-adaln,other-attn")
+    want = {v.strip() for v in want.split(",")}
+
     full = measure("full", params, cfg, inputs)
 
-    orig_attn = m.attention
-    m.attention = lambda p, x, heads, rope_freqs=None, mask=None, impl="xla", rope_all_heads=False: x
-    no_attn = measure("no-attention", params, cfg, inputs)
-    m.attention = orig_attn
+    no_attn = no_ff = no_cp = no_ada = float("nan")
+    if "no-attention" in want:
+        orig_attn = m.attention
+        m.attention = lambda p, x, heads, rope_freqs=None, mask=None, impl="xla", rope_all_heads=False: x
+        no_attn = measure("no-attention", params, cfg, inputs)
+        m.attention = orig_attn
 
-    orig_ff = m.feed_forward
-    m.feed_forward = lambda p, x: x
-    no_ff = measure("no-ff", params, cfg, inputs)
-    m.feed_forward = orig_ff
+    if "no-ff" in want:
+        orig_ff = m.feed_forward
+        m.feed_forward = lambda p, x: x
+        no_ff = measure("no-ff", params, cfg, inputs)
+        m.feed_forward = orig_ff
 
-    orig_cp = m.conv_pos_embedding
-    m.conv_pos_embedding = lambda p, x, mask=None, kernel_size=31, groups=16, impl="xla": jnp.zeros_like(x)
-    no_cp = measure("no-convpos", params, cfg, inputs)
-    m.conv_pos_embedding = orig_cp
+    if "no-convpos" in want:
+        orig_cp = m.conv_pos_embedding
+        m.conv_pos_embedding = lambda p, x, mask=None, kernel_size=31, groups=16, impl="xla": jnp.zeros_like(x)
+        no_cp = measure("no-convpos", params, cfg, inputs)
+        m.conv_pos_embedding = orig_cp
 
-    # knock out the whole adaLN chain (timestep-conditioned linear + norms):
-    # identity modulation with the contract's shapes (h, gate_msa, shift_mlp,
-    # scale_mlp, gate_mlp)
-    orig_ada = m.adaln_zero
-    m.adaln_zero = lambda p, x, emb: (x, jnp.ones_like(emb), jnp.zeros_like(emb),
-                                      jnp.zeros_like(emb), jnp.ones_like(emb))
-    no_ada = measure("no-adaln", params, cfg, inputs)
-    m.adaln_zero = orig_ada
+    if "no-adaln" in want:
+        # knock out the whole adaLN chain (timestep-conditioned linear +
+        # norms): identity modulation with the contract's shapes
+        orig_ada = m.adaln_zero
+        m.adaln_zero = lambda p, x, emb: (x, jnp.ones_like(emb), jnp.zeros_like(emb),
+                                          jnp.zeros_like(emb), jnp.ones_like(emb))
+        no_ada = measure("no-adaln", params, cfg, inputs)
+        m.adaln_zero = orig_ada
 
-    import dataclasses
+    if "other-attn" in want:
+        import dataclasses
 
-    other = "xla" if cfg.attn_impl == "flash" else "flash"
-    cfg_other = dataclasses.replace(cfg, attn_impl=other)
-    measure(f"{other}-attn", params, cfg_other, inputs)
+        other = "xla" if cfg.attn_impl == "flash" else "flash"
+        cfg_other = dataclasses.replace(cfg, attn_impl=other)
+        measure(f"{other}-attn", params, cfg_other, inputs)
 
     print(f"attention share ~{full - no_attn:.3f}s  ff share ~{full - no_ff:.3f}s  "
           f"convpos ~{full - no_cp:.3f}s  adaln ~{full - no_ada:.3f}s")
