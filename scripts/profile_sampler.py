@@ -77,19 +77,19 @@ def main():
     no_attn = no_ff = no_cp = no_ada = float("nan")
     if "no-attention" in want:
         orig_attn = m.attention
-        m.attention = lambda p, x, heads, rope_freqs=None, mask=None, impl="xla", rope_all_heads=False: x
+        m.attention = lambda p, x, *a, **k: x
         no_attn = measure("no-attention", params, cfg, inputs)
         m.attention = orig_attn
 
     if "no-ff" in want:
         orig_ff = m.feed_forward
-        m.feed_forward = lambda p, x: x
+        m.feed_forward = lambda p, x, *a, **k: x
         no_ff = measure("no-ff", params, cfg, inputs)
         m.feed_forward = orig_ff
 
     if "no-convpos" in want:
         orig_cp = m.conv_pos_embedding
-        m.conv_pos_embedding = lambda p, x, mask=None, kernel_size=31, groups=16, impl="xla": jnp.zeros_like(x)
+        m.conv_pos_embedding = lambda p, x, *a, **k: jnp.zeros_like(x)
         no_cp = measure("no-convpos", params, cfg, inputs)
         m.conv_pos_embedding = orig_cp
 
@@ -97,8 +97,8 @@ def main():
         # knock out the whole adaLN chain (timestep-conditioned linear +
         # norms): identity modulation with the contract's shapes
         orig_ada = m.adaln_zero
-        m.adaln_zero = lambda p, x, emb: (x, jnp.ones_like(emb), jnp.zeros_like(emb),
-                                          jnp.zeros_like(emb), jnp.ones_like(emb))
+        m.adaln_zero = lambda p, x, emb, *a, **k: (x, jnp.ones_like(emb), jnp.zeros_like(emb),
+                                                   jnp.zeros_like(emb), jnp.ones_like(emb))
         no_ada = measure("no-adaln", params, cfg, inputs)
         m.adaln_zero = orig_ada
 
